@@ -1,0 +1,87 @@
+"""Shepard (inverse-distance) interpolation over point clouds.
+
+JAX port of the reference's Shepard upsampling
+(mask2former/modeling/backbone/point_utils.py:63-121).  Note the reference
+passes *squared* distances into the weight function and halves the configured
+power to compensate (msdeformattn_pc.py:460); we keep the same convention.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.clusten import weighted_gather
+from .knn import knn
+
+
+def shepard_decay_weights(dist: jnp.ndarray, power=3.0) -> jnp.ndarray:
+    """Normalized inverse-distance weights.  dist: (b, n, k) -> (b, n, k).
+    Port of point_utils.py:63-75 (clamp 1e-2, eps 1e-6)."""
+    dist = jnp.maximum(dist, 1e-2)
+    ipd = 1.0 / (dist**power + 1e-6)
+    return ipd / (jnp.sum(ipd, axis=2, keepdims=True) + 1e-6)
+
+
+def upsample_feature_shepard(
+    query: jnp.ndarray,
+    database: jnp.ndarray,
+    feature: Optional[jnp.ndarray],
+    database_idx: Optional[jnp.ndarray] = None,
+    k: int = 4,
+    power=3.0,
+    nn_idx: Optional[jnp.ndarray] = None,
+    return_weight_only: bool = False,
+) -> jnp.ndarray:
+    """Interpolate ``feature`` (defined at ``database`` positions) at ``query``
+    positions using inverse-distance weighting of the k nearest neighbors.
+    Port of point_utils.py:78-121.
+
+    Args:
+        query    - (b, n, d) positions to interpolate at
+        database - (b, n_, d) candidate positions
+        feature  - (b, n_, c) features (None iff return_weight_only)
+        database_idx - (b, n_, 1) optional indices of database tokens within
+                        the queries; exact positions get their original feature
+        k        - neighborhood size (ignored when nn_idx given)
+        power    - Shepard power, applied to *squared* distances
+        nn_idx   - (b, n, k) optional precomputed neighbor indices
+        return_weight_only - return the (b, n, k) weights instead
+    """
+    b, n_, d = database.shape
+    n = query.shape[1]
+    if nn_idx is None:
+        k = min(k, n_)
+        nn_idx = knn(query, database, k=k)
+    else:
+        k = nn_idx.shape[-1]
+
+    nn_pos = jnp.take_along_axis(
+        database, nn_idx.reshape(b, n * k, 1), axis=1
+    ).reshape(b, n, k, d)
+    nn_dist = jnp.sum((query[:, :, None, :] - nn_pos) ** 2, axis=-1)  # squared!
+
+    nn_weights = shepard_decay_weights(nn_dist, power=power)
+    if return_weight_only:
+        return nn_weights
+
+    up = weighted_gather(nn_idx, nn_weights, feature)  # (b, n, c)
+
+    if database_idx is not None:
+        c = feature.shape[-1]
+        batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, n_))
+        up = up.at[batch_idx, database_idx[..., 0]].set(feature)
+    return up
+
+
+def find_pos_indices_in_pos(all_positions: jnp.ndarray, some_positions: jnp.ndarray) -> jnp.ndarray:
+    """Index of each ``some_positions`` row within ``all_positions`` (closest
+    match by L1 distance).  Port of point_utils.py:124-133.
+    all_positions: (b, n, d); some_positions: (b, n_, d) -> (b, n_, 1) int32."""
+    diff = jnp.abs(
+        some_positions[:, :, None, :].astype(jnp.float32)
+        - all_positions[:, None, :, :].astype(jnp.float32)
+    ).sum(-1)
+    return jnp.argmin(diff, axis=2).astype(jnp.int32)[..., None]

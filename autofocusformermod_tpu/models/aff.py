@@ -1,0 +1,490 @@
+"""AutoFocusFormer backbone — point-cloud transformer with adaptive downsampling.
+
+TPU-native rebuild of reference mask2former/modeling/backbone/aff.py.  Feature
+maps are (feat: b x n x c, pos: b x n x 2) point clouds; every stage:
+
+  1. balanced clustering along a space-filling curve (geometry/cluster.py)
+  2. KNN of cluster centers -> fixed-width nbhd index tensor (b, n, nbhd)
+  3. ``depth`` ClusterTransformerBlocks: local attention over the gathered
+     neighborhood with a learned rel-pos bias and a learnable "blank" token
+     acting as an attention sink (aff.py:53-163)
+  4. ClusterMerging: adaptive downsampling — grid prior + learned importance,
+     reserved coarse-grid tokens forced to survive, top-25% keep, PointConv
+     merge (aff.py:245-365)
+
+Static-shape design (the intellectual core of the TPU port; SURVEY.md section 7):
+n, k=ceil(n/m), nbhd, keep_num=int(n*ds_rate) and reserve_num are all
+compile-time constants derived from the crop size.  On-grid stage-1 clustering
+is executed *eagerly at trace time* on the constant pixel grid, so the whole
+stage-1 neighborhood assembly folds into compile-time constants — strictly
+better than the reference's runtime caching (aff.py:461-467).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+from ..geometry.cluster import space_filling_cluster
+from ..geometry.knn import knn
+from ..ops.clusten import cluster_av, cluster_qk, cluster_wf
+from ..ops.dispatch import local_cluster_attention
+from .layers import DropPath, Mlp, rel_pos_features
+
+
+def _gather_by_idx(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """x: (b, n, c); idx: (b, n_) -> (b, n_, c)."""
+    return jnp.take_along_axis(x, idx[..., None], axis=1)
+
+
+class ClusterAttention(nn.Module):
+    """Local attention over each token's gathered neighborhood with learned
+    relative-position bias and a blank attention-sink token (aff.py:53-163)."""
+
+    dim: int
+    num_heads: int
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, feat, member_idx, cluster_mask, rel_feat5, global_attn,
+                 deterministic: bool = True):
+        """
+        feat        - (b, n, c)
+        member_idx  - (b, n, m) neighbor token indices (None if global)
+        cluster_mask- (b, n, m) 1=valid (or None)
+        rel_feat5   - (b, n, m, 5) rel-pos features (global: (b, n, n, 5))
+        global_attn - static bool
+        """
+        b, n, c = feat.shape
+        h = self.num_heads
+        c_ = c // h
+        scale = c_**-0.5
+
+        q = nn.Dense(self.dim, name="q")(feat) * scale
+        kv = nn.Dense(2 * self.dim, name="kv")(feat)
+
+        blank_k = self.param("blank_k", nn.initializers.normal(1.0), (self.dim,))
+        blank_v = self.param("blank_v", nn.initializers.normal(1.0), (self.dim,))
+
+        # learned rel-pos bias: Linear(5 -> heads) applied to the features
+        # (replaces the reference's full-table forward + gather, aff.py:126-132)
+        pos_bias = nn.Dense(h, name="pos_embed")(rel_feat5)  # (b, n, m, h)
+
+        q = q.reshape(b, n, h, c_).transpose(0, 2, 1, 3)      # (b, h, n, c_)
+        kv = kv.reshape(b, n, 2, h, c_).transpose(2, 0, 3, 1, 4)
+        key, v = kv[0], kv[1]                                  # (b, h, n, c_)
+
+        blank_attn = jnp.einsum(
+            "bhnc,hc->bhn", q, blank_k.reshape(h, c_)
+        )[..., None]  # (b, h, n, 1)
+
+        if not global_attn and self.use_pallas and self.attn_drop == 0.0:
+            # fused gather-QK -> bias/mask -> blank-augmented softmax -> AV
+            mask = None if cluster_mask is None else cluster_mask
+            feat_out, blank_prob = local_cluster_attention(
+                q, key, v, member_idx, pos_bias, mask, blank_attn
+            )
+            feat = feat_out.transpose(0, 2, 1, 3).reshape(b, n, c)
+            feat = feat + (blank_prob * blank_v.reshape(1, h, 1, c_)).transpose(
+                0, 2, 1, 3
+            ).reshape(b, n, c)
+        else:
+            if global_attn:
+                attn = jnp.einsum("bhnc,bhmc->bhnm", q, key)
+                mask = None
+            else:
+                attn = cluster_qk(q, key, member_idx)         # (b, h, n, m)
+                mask = None if cluster_mask is None else cluster_mask.reshape(b, 1, n, -1)
+
+            attn = attn + pos_bias.transpose(0, 3, 1, 2)
+            if mask is not None:
+                attn = attn + (1 - mask) * (-100.0)
+
+            attn = jnp.concatenate([attn, blank_attn], axis=-1)
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+            blank_prob = attn[..., -1:]
+            attn = attn[..., :-1]
+
+            if global_attn:
+                feat = jnp.einsum("bhnm,bhmc->bhnc", attn, v)
+            else:
+                feat = cluster_av(attn, v, member_idx)
+            feat = feat + blank_prob * blank_v.reshape(1, h, 1, c_)
+            feat = feat.transpose(0, 2, 1, 3).reshape(b, n, c)
+
+        feat = nn.Dense(self.dim, name="proj")(feat)
+        feat = nn.Dropout(self.proj_drop, deterministic=deterministic)(feat)
+        return feat
+
+
+class ClusterTransformerBlock(nn.Module):
+    """Pre-LN attention + FFN block with optional layer scale (aff.py:166-238)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 2.0
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    layer_scale: float = 0.0
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, feat, member_idx, cluster_mask, rel_feat5, global_attn,
+                 deterministic: bool = True):
+        shortcut = feat
+        feat = nn.LayerNorm(name="norm1")(feat)
+        feat = ClusterAttention(
+            self.dim, self.num_heads, self.attn_drop, self.drop,
+            use_pallas=self.use_pallas, name="attn",
+        )(feat, member_idx, cluster_mask, rel_feat5, global_attn, deterministic)
+
+        dp = DropPath(self.drop_path)
+        if self.layer_scale > 0.0:
+            gamma1 = self.param(
+                "gamma1", nn.initializers.constant(self.layer_scale), (self.dim,)
+            )
+            gamma2 = self.param(
+                "gamma2", nn.initializers.constant(self.layer_scale), (self.dim,)
+            )
+            feat = shortcut + dp(gamma1 * feat, deterministic)
+            feat_mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop, name="mlp")(
+                nn.LayerNorm(name="norm2")(feat), deterministic
+            )
+            feat = feat + dp(gamma2 * feat_mlp, deterministic)
+        else:
+            feat = shortcut + dp(feat, deterministic)
+            feat_mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop, name="mlp")(
+                nn.LayerNorm(name="norm2")(feat), deterministic
+            )
+            feat = feat + dp(feat_mlp, deterministic)
+        return feat
+
+
+class ClusterMerging(nn.Module):
+    """Adaptive downsampling (aff.py:245-365): grid prior (+adaptive stride via
+    1-NN distance), learned importance, reserved coarse-grid tokens, static
+    top-k keep, PointConv merge over the kept tokens' neighborhoods."""
+
+    dim: int
+    out_dim: int
+    alpha: float = 4.0
+    ds_rate: float = 0.25
+    reserve_on: bool = True
+    inner_ch: int = 4
+
+    @nn.compact
+    def __call__(self, pos, feat, member_idx, cluster_mask, learned_prob,
+                 stride, rel_feat5, reserve_num):
+        b, n, c = feat.shape
+        d = pos.shape[2]
+        m = member_idx.shape[-1]
+        keep_num = int(n * self.ds_rate)
+
+        pos_int = pos.astype(jnp.int32)
+
+        # grid prior (aff.py:296-302)
+        if stride == 2:
+            grid_prob = jnp.all(pos_int % stride == 0, axis=-1).astype(jnp.float32)
+        else:
+            _, min_dist = knn(pos, pos, 2, return_dist=True)
+            min_dist = min_dist[:, :, 1]
+            ada_stride = 2.0 ** (jnp.ceil(jnp.log2(jnp.maximum(min_dist, 1e-6))) + 1)
+            grid_prob = jnp.all(
+                pos_int % ada_stride[..., None].astype(jnp.int32) == 0, axis=-1
+            ).astype(jnp.float32)
+
+        final_prob = grid_prob
+        if learned_prob is not None:
+            lp_flat = jax.lax.stop_gradient(learned_prob).reshape(b, n)
+            final_prob = final_prob + lp_flat * self.alpha
+
+        if self.reserve_on:
+            reserve_mask = jnp.all(pos_int % (stride * 2) == 0, axis=-1).astype(jnp.float32)
+            final_prob = final_prob + reserve_mask * (-100.0)
+            sample_num = keep_num - reserve_num
+        else:
+            sample_num = keep_num
+
+        _, sample_idx = jax.lax.top_k(final_prob, sample_num)  # (b, sample_num)
+
+        if self.reserve_on:
+            # top_k over the 0/1 mask returns the reserve tokens in ascending
+            # index order — equivalent to the reference's nonzero() (aff.py:323),
+            # assuming exactly reserve_num reserved tokens (invariant: the
+            # coarse grid survives every previous downsample)
+            _, reserve_idx = jax.lax.top_k(reserve_mask, reserve_num)
+            idx = jnp.concatenate([sample_idx, reserve_idx], axis=1)
+        else:
+            idx = sample_idx
+        idx = idx.astype(jnp.int32)  # (b, keep_num)
+
+        new_pos = _gather_by_idx(pos, idx)
+        member_idx_k = jnp.take_along_axis(member_idx, idx[..., None], axis=1)
+        rel5_k = jnp.take_along_axis(rel_feat5, idx[..., None, None], axis=1)
+        mask_k = (
+            None
+            if cluster_mask is None
+            else jnp.take_along_axis(cluster_mask, idx[..., None], axis=1)
+        )
+
+        from .layers import WeightNet
+
+        weights = WeightNet(self.inner_ch, name="weight_net")(rel5_k)  # (b, n', m, ic)
+
+        if learned_prob is not None:
+            lp = jnp.take_along_axis(
+                learned_prob, member_idx_k.reshape(b, -1, 1), axis=1
+            ).reshape(b, keep_num, m, 1)
+            if mask_k is not None:
+                lp = lp * mask_k[..., None]
+            weights = weights * lp
+        elif mask_k is not None:
+            weights = weights * mask_k[..., None]
+
+        feat = cluster_wf(weights, feat, member_idx_k).reshape(b, keep_num, -1)
+        feat = nn.LayerNorm(name="norm")(feat)
+        feat = nn.Dense(self.out_dim, name="linear")(feat)
+        return new_pos, feat
+
+
+class BasicLayer(nn.Module):
+    """One AFF stage: cluster -> neighborhood assembly -> blocks -> downsample
+    (aff.py:368-507)."""
+
+    dim: int
+    out_dim: Optional[int]
+    cluster_size: int
+    nbhd_size: int
+    depth: int
+    num_heads: int
+    mlp_ratio: float
+    alpha: float = 4.0
+    ds_rate: float = 0.25
+    reserve_on: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: Sequence[float] = ()
+    layer_scale: float = 0.0
+    has_downsample: bool = True
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, pos, feat, h, w, on_grid, stride, deterministic: bool = True):
+        """pos may be a *concrete* (trace-time constant) array when on_grid."""
+        b = feat.shape[0]
+        n = pos.shape[1]
+        c = feat.shape[2]
+        d = 2
+        m = self.cluster_size
+
+        global_attn = self.nbhd_size >= n
+        if not global_attn:
+            k = int(math.ceil(n / float(m)))
+            nnc = min(int(round(self.nbhd_size / float(m))), k)
+            nbhd_size = m * nnc
+
+        if global_attn:
+            member_idx, cluster_mask = None, None
+            rel = pos[:, None, :, :] - pos[:, :, None, :]  # (b, n, n, 2): pos_j - pos_i
+            rel_feat5 = rel_pos_features(rel)
+        else:
+            if k == n:
+                cluster_mean_pos = pos
+                member_idx = jnp.broadcast_to(
+                    jnp.arange(n, dtype=jnp.int32)[None, :, None], (pos.shape[0], n, 1)
+                )
+                cluster_mask = None
+            else:
+                pos, cluster_mean_pos, member_idx, cluster_mask, pos_ranking = (
+                    space_filling_cluster(pos, m, h, w, no_reorder=False)
+                )
+                # reorder features along the curve; broadcast when the
+                # clustering was computed on a single constant grid
+                rank = pos_ranking[..., 0]
+                if rank.shape[0] != b:
+                    rank = jnp.broadcast_to(rank, (b, n))
+                feat = _gather_by_idx(feat, rank)
+
+            nearest_cluster = knn(pos, cluster_mean_pos, nnc)  # (bp, n, nnc)
+            bp = member_idx.shape[0]
+            member_idx = jnp.take_along_axis(
+                member_idx, nearest_cluster.reshape(bp, -1, 1), axis=1
+            ).reshape(bp, n, nbhd_size)
+            if cluster_mask is not None:
+                cluster_mask = jnp.take_along_axis(
+                    cluster_mask, nearest_cluster.reshape(bp, -1, 1), axis=1
+                ).reshape(bp, n, nbhd_size)
+
+            pos_nbhd = jnp.take_along_axis(
+                pos, member_idx.reshape(bp, -1, 1), axis=1
+            ).reshape(bp, n, nbhd_size, d)
+            rel = pos_nbhd - pos[:, :, None, :]
+            rel_feat5 = rel_pos_features(rel)
+
+            # broadcast trace-time-constant (bp=1 or bp=b-from-constant) pieces
+            if member_idx.shape[0] != b:
+                member_idx = jnp.broadcast_to(member_idx, (b, n, nbhd_size))
+                if cluster_mask is not None:
+                    cluster_mask = jnp.broadcast_to(cluster_mask, (b, n, nbhd_size))
+                rel_feat5 = jnp.broadcast_to(rel_feat5, (b, n, nbhd_size, 5))
+                pos = jnp.broadcast_to(pos, (b, n, d))
+
+        pos = jnp.asarray(pos)
+
+        for i in range(self.depth):
+            feat = ClusterTransformerBlock(
+                dim=self.dim,
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                drop=self.drop,
+                attn_drop=self.attn_drop,
+                drop_path=self.drop_path[i] if len(self.drop_path) else 0.0,
+                layer_scale=self.layer_scale,
+                use_pallas=self.use_pallas,
+                name=f"blocks_{i}",
+            )(feat, member_idx, cluster_mask, rel_feat5, global_attn, deterministic)
+
+        if self.has_downsample:
+            learned_prob = jax.nn.sigmoid(nn.Dense(1, name="prob_net")(feat))
+            reserve_num = math.ceil(h / (stride * 2)) * math.ceil(w / (stride * 2))
+            pos_down, feat_down = ClusterMerging(
+                dim=self.dim,
+                out_dim=self.out_dim,
+                alpha=self.alpha,
+                ds_rate=self.ds_rate,
+                reserve_on=self.reserve_on,
+                name="downsample",
+            )(pos, feat, member_idx, cluster_mask, learned_prob, stride, rel_feat5, reserve_num)
+            return pos, feat, pos_down, feat_down
+        return pos, feat, pos, feat
+
+
+class PatchEmbed(nn.Module):
+    """Two stride-2 3x3 convs with BN+GELU between (aff.py:513-565).
+    Input NHWC (TPU-native); output token features + integer grid positions."""
+
+    embed_dim: int = 32
+    patch_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # torch Conv2d(k=3, s=2, p=1) == explicit ((1,1),(1,1)) padding
+        x = nn.Conv(
+            self.embed_dim // 2, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+            name="proj1",
+        )(x)
+        x = nn.BatchNorm(use_running_average=not train, name="bn")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Conv(
+            self.embed_dim, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+            name="proj2",
+        )(x)
+        b, h, w, c = x.shape
+        x = x.reshape(b, h * w, c)
+        if self.patch_norm:
+            x = nn.LayerNorm(name="norm")(x)
+        # constant integer grid positions, built in numpy so downstream
+        # stage-1 clustering folds at trace time
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        pos = np.stack([xs, ys], axis=2).reshape(1, h * w, 2).astype(np.float32)
+        return pos, x, h, w
+
+
+class AFF(nn.Module):
+    """The 4-stage AutoFocusFormer backbone (aff.py:568-686).
+
+    Returns {"res2".."res5": feat, "res*_pos": pos, "res*_spatial_shape": (h,w)}.
+    """
+
+    embed_dim: Sequence[int] = (32, 128, 256, 512)
+    cluster_size: int = 8
+    nbhd_size: Sequence[int] = (48, 48, 48, 48)
+    alpha: float = 4.0
+    ds_rate: float = 0.25
+    reserve_on: bool = True
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    mlp_ratio: float = 2.0
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.1
+    patch_norm: bool = True
+    layer_scale: float = 0.0
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        num_layers = len(self.depths)
+        pos_np, feat, h, w = PatchEmbed(
+            self.embed_dim[0], self.patch_norm, name="patch_embed"
+        )(x, train)
+        feat = nn.Dropout(self.drop_rate, deterministic=not train)(feat)
+        spatial_shape = (h, w)
+
+        dpr = list(np.linspace(0, self.drop_path_rate, sum(self.depths)))
+
+        outs: Dict[str, Any] = {}
+        pos = pos_np  # concrete at stage 1 -> constant-folded clustering
+        for i in range(num_layers):
+            depth_lo = sum(self.depths[:i])
+            layer = BasicLayer(
+                dim=int(self.embed_dim[i]),
+                out_dim=int(self.embed_dim[i + 1]) if i < num_layers - 1 else None,
+                cluster_size=self.cluster_size,
+                nbhd_size=self.nbhd_size[i],
+                depth=self.depths[i],
+                num_heads=self.num_heads[i],
+                mlp_ratio=self.mlp_ratio,
+                alpha=self.alpha,
+                ds_rate=self.ds_rate,
+                reserve_on=self.reserve_on,
+                drop=self.drop_rate,
+                attn_drop=self.attn_drop_rate,
+                drop_path=tuple(dpr[depth_lo : depth_lo + self.depths[i]]),
+                layer_scale=self.layer_scale,
+                has_downsample=i < num_layers - 1,
+                use_pallas=self.use_pallas,
+                name=f"layers_{i}",
+            )
+            pos_out, x_out, pos, feat = layer(
+                pos, feat, h=h, w=w, on_grid=i == 0, stride=2 ** (i + 1),
+                deterministic=not train,
+            )
+            if i in self.out_indices:
+                x_out = nn.LayerNorm(name=f"norm{i}")(x_out)
+                outs[f"res{i + 2}"] = x_out
+                outs[f"res{i + 2}_pos"] = pos_out
+                outs[f"res{i + 2}_spatial_shape"] = spatial_shape
+        return outs
+
+
+def aff_from_config(cfg, use_pallas: Optional[bool] = None) -> AFF:
+    """Build AFF from a CfgNode (mirrors AutoFocusFormer.from cfg, aff.py:689-743)."""
+    a = cfg.MODEL.AFF
+    return AFF(
+        embed_dim=tuple(a.EMBED_DIM),
+        cluster_size=a.CLUSTER_SIZE,
+        nbhd_size=tuple(a.NBHD_SIZE),
+        alpha=a.ALPHA,
+        ds_rate=a.DS_RATE,
+        reserve_on=a.RESERVE,
+        depths=tuple(a.DEPTHS),
+        num_heads=tuple(a.NUM_HEADS),
+        mlp_ratio=a.MLP_RATIO,
+        drop_rate=a.DROP_RATE,
+        attn_drop_rate=a.ATTN_DROP_RATE,
+        drop_path_rate=a.DROP_PATH_RATE,
+        patch_norm=a.PATCH_NORM,
+        layer_scale=a.LAYER_SCALE,
+        use_pallas=cfg.TPU.USE_PALLAS if use_pallas is None else use_pallas,
+    )

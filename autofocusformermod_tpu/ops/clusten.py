@@ -1,0 +1,108 @@
+"""Neighborhood gather ops — the TPU equivalents of the CLUSTEN CUDA extension.
+
+Semantics (forward) mirror the five kernels in
+reference mask2former/modeling/clusten/src/ (see each function's docstring);
+backwards are derived by JAX autodiff: the transpose of a gather is a
+*deterministic* scatter-add, which replaces the reference's
+``at::native::fastAtomicAdd`` races-avoided atomics
+(e.g. clustenqk_cuda_kernel.cu:118-128) with bitwise-reproducible adds.
+
+These pure-jnp forms compile to gather + batched-matmul HLO that XLA fuses
+onto the MXU; the fused Pallas local-attention kernel in
+``ops/pallas/local_attn.py`` covers the qk->softmax->av hot path.
+
+All index tensors are int32 (TPU-native) padded fixed-width neighborhoods.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# The neighborhood contractions have tiny inner dims (m<=48, ic=4, k=4) and are
+# gather/bandwidth-bound, not MXU-bound; full fp32 precision is free and keeps
+# bitwise parity with the fp32 CUDA kernels they replace.
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _gather_tokens(feat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """feat: (b, n, c), idx: (b, n_, m) -> (b, n_, m, c)."""
+    b, n_, m = idx.shape
+    c = feat.shape[-1]
+    out = jnp.take_along_axis(feat, idx.reshape(b, n_ * m, 1), axis=1)
+    return out.reshape(b, n_, m, c)
+
+
+def _gather_tokens_h(feat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """feat: (b, h, n, c), idx: (b, n_, m) -> (b, h, n_, m, c)."""
+    b, h, n, c = feat.shape
+    n_, m = idx.shape[1:]
+    out = jnp.take_along_axis(feat, idx.reshape(b, 1, n_ * m, 1), axis=2)
+    return out.reshape(b, h, n_, m, c)
+
+
+def cluster_qk(query: jnp.ndarray, key: jnp.ndarray, nbhd_idx: jnp.ndarray) -> jnp.ndarray:
+    """attn[b,h,i,ni] = sum_c q[b,h,i,c] * k[b,h,nbhd_idx[b,i,ni],c].
+
+    Equivalent of clustenqk_cuda.forward (clustenqk_cuda_kernel.cu).
+    query/key: (b, h, n, c_); nbhd_idx: (b, n, m) -> (b, h, n, m).
+    """
+    k_g = _gather_tokens_h(key, nbhd_idx)  # (b, h, n, m, c_)
+    return jnp.einsum("bhnc,bhnmc->bhnm", query, k_g, precision=_PREC)
+
+
+def cluster_av(attn: jnp.ndarray, v: jnp.ndarray, nbhd_idx: jnp.ndarray) -> jnp.ndarray:
+    """feat[b,h,i,c] = sum_ni attn[b,h,i,ni] * v[b,h,nbhd_idx[b,i,ni],c].
+
+    Equivalent of clustenav_cuda.forward (clustenav_cuda_kernel.cu).
+    attn: (b, h, n, m); v: (b, h, n, c_) -> (b, h, n, c_).
+    """
+    v_g = _gather_tokens_h(v, nbhd_idx)  # (b, h, n, m, c_)
+    return jnp.einsum("bhnm,bhnmc->bhnc", attn, v_g, precision=_PREC)
+
+
+def cluster_wf(weights: jnp.ndarray, feat: jnp.ndarray, nbhd_idx: jnp.ndarray) -> jnp.ndarray:
+    """feat_new[b,i,ic,c] = sum_ni w[b,i,ni,ic] * feat[b,nbhd_idx[b,i,ni],c].
+
+    PointConv weight-times-feature mixing used by adaptive downsampling.
+    Equivalent of clustenwf_cuda.forward (clustenwf_cuda_kernel.cu; output
+    layout b x n_ x ic x c confirmed at clustenwf_cuda_kernel.cu:23).
+    weights: (b, n_, m, ic); feat: (b, n, c); nbhd_idx: (b, n_, m)
+    -> (b, n_, ic, c).
+    """
+    f_g = _gather_tokens(feat, nbhd_idx)  # (b, n_, m, c)
+    return jnp.einsum("bnmi,bnmc->bnic", weights, f_g, precision=_PREC)
+
+
+def weighted_gather(nbhd_idx: jnp.ndarray, weights: jnp.ndarray, feat: jnp.ndarray) -> jnp.ndarray:
+    """feat_new[b,i,c] = sum_ni w[b,i,ni] * feat[b,nbhd_idx[b,i,ni],c].
+
+    Shepard-interpolation upsampling. Equivalent of weighted_gather_cuda.forward
+    (weighted_gather_cuda_kernel.cu).
+    nbhd_idx: (b, n_, m); weights: (b, n_, m); feat: (b, n, c) -> (b, n_, c).
+    """
+    f_g = _gather_tokens(feat, nbhd_idx)  # (b, n_, m, c)
+    return jnp.einsum("bnm,bnmc->bnc", weights, f_g, precision=_PREC)
+
+
+def msdetrpc(
+    nn_idx: jnp.ndarray,
+    nn_weight: jnp.ndarray,
+    attn: jnp.ndarray,
+    val: jnp.ndarray,
+) -> jnp.ndarray:
+    """feat[b,i,c] = sum_m attn[b,i,m] * sum_k w[b,i,m,k] * val[b,nn_idx[b,i,m,k],c].
+
+    Deformable-DETR sampling on point clouds: 4-NN Shepard interpolation at
+    each sampled location, then attention-weighted sum over samples.
+    Equivalent of msdetrpc_cuda.forward (msdetrpc_cuda_kernel.cu).
+    nn_idx/nn_weight: (b, n, m, k); attn: (b, n, m); val: (b, nv, c)
+    -> (b, n, c).
+    """
+    b, n, m, k = nn_idx.shape
+    c = val.shape[-1]
+    v_g = jnp.take_along_axis(val, nn_idx.reshape(b, n * m * k, 1), axis=1)
+    v_g = v_g.reshape(b, n, m, k, c)
+    # fold attn into the interpolation weights first: (b,n,m,k)
+    w = nn_weight * attn[..., None]
+    return jnp.einsum("bnmk,bnmkc->bnc", w, v_g, precision=_PREC)

@@ -1,0 +1,81 @@
+"""Kernel dispatch: fused Pallas implementations when available/enabled,
+pure-XLA gather-einsum composition otherwise.
+
+The jnp path is the semantic reference (parity-tested in tests/test_ops.py and
+tests/test_pallas.py); the Pallas path fuses the reference's
+clusten_qk -> +bias -> +mask -> blank-augmented softmax -> clusten_av chain
+(aff.py:102-160) into one VMEM-resident local-attention kernel.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .clusten import cluster_av, cluster_qk
+
+_PALLAS_ENV = os.environ.get("AFF_TPU_USE_PALLAS", "1") not in ("0", "false")
+
+
+def _pallas_available() -> bool:
+    if not _PALLAS_ENV:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def local_cluster_attention_reference(
+    q: jnp.ndarray,
+    key: jnp.ndarray,
+    v: jnp.ndarray,
+    member_idx: jnp.ndarray,
+    pos_bias: jnp.ndarray,
+    cluster_mask: Optional[jnp.ndarray],
+    blank_attn: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Unfused composition (the semantic definition).
+
+    q/key/v: (b, h, n, c_); member_idx: (b, n, m); pos_bias: (b, n, m, h);
+    cluster_mask: (b, n, m) or None; blank_attn: (b, h, n, 1) pre-softmax logit.
+    Returns (feat (b, h, n, c_), blank_prob (b, h, n, 1)).
+    """
+    b, h, n, c_ = q.shape
+    attn = cluster_qk(q, key, member_idx)  # (b, h, n, m)
+    attn = attn + pos_bias.transpose(0, 3, 1, 2)
+    if cluster_mask is not None:
+        attn = attn + (1 - cluster_mask.reshape(b, 1, n, -1)) * (-100.0)
+    attn = jnp.concatenate([attn, blank_attn], axis=-1)
+    attn = jax.nn.softmax(attn, axis=-1)
+    blank_prob = attn[..., -1:]
+    attn = attn[..., :-1]
+    feat = cluster_av(attn, v, member_idx)
+    return feat, blank_prob
+
+
+def local_cluster_attention(
+    q: jnp.ndarray,
+    key: jnp.ndarray,
+    v: jnp.ndarray,
+    member_idx: jnp.ndarray,
+    pos_bias: jnp.ndarray,
+    cluster_mask: Optional[jnp.ndarray],
+    blank_attn: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused local cluster attention (dispatches to Pallas on TPU)."""
+    if _pallas_available():
+        try:
+            from .pallas.local_attn import local_cluster_attention_pallas
+
+            return local_cluster_attention_pallas(
+                q, key, v, member_idx, pos_bias, cluster_mask, blank_attn
+            )
+        except NotImplementedError:
+            pass
+    return local_cluster_attention_reference(
+        q, key, v, member_idx, pos_bias, cluster_mask, blank_attn
+    )

@@ -1,0 +1,213 @@
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from autofocusformermod_tpu.geometry import (
+    knn,
+    space_filling_cluster,
+    calculate_peano_order,
+    calculate_hilbert_order,
+    shepard_decay_weights,
+    upsample_feature_shepard,
+    points2img,
+    point2img,
+    find_pos_indices_in_pos,
+)
+
+HAS_REF = os.path.exists("/root/reference/mask2former/modeling/backbone/point_utils.py")
+
+
+def _grid_pos(b, h, w):
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    pos = np.stack([xs, ys], axis=2).reshape(-1, 2).astype(np.float32)
+    return np.broadcast_to(pos, (b, h * w, 2)).copy()
+
+
+# ----------------------------------------------------------------- KNN
+def test_knn_exact_small():
+    rng = np.random.default_rng(0)
+    q = rng.uniform(0, 32, size=(2, 37, 2)).astype(np.float32)
+    db = rng.uniform(0, 32, size=(2, 51, 2)).astype(np.float32)
+    idx, dist = knn(jnp.asarray(q), jnp.asarray(db), k=5, return_dist=True)
+    idx, dist = np.asarray(idx), np.asarray(dist)
+    # brute force reference
+    d2 = ((q[:, :, None, :] - db[:, None, :, :]) ** 2).sum(-1)
+    ref_idx = np.argsort(d2, axis=2, kind="stable")[:, :, :5]
+    np.testing.assert_array_equal(idx, ref_idx)
+    np.testing.assert_allclose(
+        dist, np.sqrt(np.take_along_axis(d2, ref_idx, axis=2)), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_knn_chunked_matches_unchunked():
+    # enough queries to force multiple chunks against a big database
+    rng = np.random.default_rng(1)
+    q = rng.uniform(0, 100, size=(1, 3000, 2)).astype(np.float32)
+    db = rng.uniform(0, 100, size=(1, 2048, 2)).astype(np.float32)
+    idx = np.asarray(knn(jnp.asarray(q), jnp.asarray(db), k=3))
+    d2 = ((q[:, :, None, :] - db[:, None, :, :]) ** 2).sum(-1)
+    ref_idx = np.argsort(d2, axis=2, kind="stable")[:, :, :3]
+    np.testing.assert_array_equal(idx, ref_idx)
+
+
+# ---------------------------------------------------- space-filling orders
+@pytest.mark.skipif(not HAS_REF, reason="reference absent")
+@pytest.mark.parametrize("h,w", [(9, 9), (27, 27), (9, 18)])
+def test_peano_order_matches_reference(h, w):
+    import torch
+    from reference_port import load_reference_point_utils
+
+    ref = load_reference_point_utils()
+    pos = _grid_pos(2, h, w)
+    ref_order, ref_idx = ref.calculate_peano_order(h, w, torch.from_numpy(pos))
+    order, idx = calculate_peano_order(h, w, jnp.asarray(pos))
+    np.testing.assert_array_equal(np.asarray(order), ref_order.numpy())
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx.numpy())
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference absent")
+# note: non-square (h != w) hilbert crashes in the reference itself
+# (point_utils.py:568 index-out-of-bounds on the rot_res table), so only the
+# square cases define behavior to match.
+@pytest.mark.parametrize("h,w", [(8, 8), (16, 16)])
+def test_hilbert_order_matches_reference(h, w):
+    import torch
+    from reference_port import load_reference_point_utils
+
+    ref = load_reference_point_utils()
+    pos = _grid_pos(1, h, w)
+    ref_order, ref_idx = ref.calculate_hilbert_order(h, w, torch.from_numpy(pos))
+    order, idx = calculate_hilbert_order(h, w, jnp.asarray(pos))
+    np.testing.assert_array_equal(np.asarray(order), ref_order.numpy())
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx.numpy())
+
+
+def test_hilbert_order_is_permutation():
+    order, idx = calculate_hilbert_order(16, 16, jnp.asarray(_grid_pos(1, 16, 16)))
+    assert sorted(np.asarray(order)[0].tolist()) == list(range(256))
+
+
+# ---------------------------------------------------- balanced clustering
+@pytest.mark.skipif(not HAS_REF, reason="reference absent")
+@pytest.mark.parametrize("h,w,m", [(16, 16, 8), (12, 20, 8), (16, 16, 7)])
+def test_space_filling_cluster_matches_reference(h, w, m):
+    import torch
+    from reference_port import load_reference_point_utils
+
+    ref = load_reference_point_utils()
+    rng = np.random.default_rng(3)
+    # random subset of grid positions (like adaptively downsampled tokens)
+    n = (h * w * 3) // 4
+    pos = np.stack(
+        [
+            _grid_pos(1, h, w)[0][rng.permutation(h * w)[:n]]
+            for _ in range(2)
+        ]
+    ).astype(np.float32)
+
+    # The reference sorts with torch's *unstable* sort, so tie order between
+    # symmetric tokens is implementation-defined; pin the oracle to stable
+    # sort (any tie order is a valid clustering) to make parity well-defined.
+    orig_sort = torch.Tensor.sort
+    torch.Tensor.sort = lambda self, dim=-1, **kw: orig_sort(
+        self, stable=True, dim=dim, **kw
+    )
+    try:
+        r_pos, r_mean, r_member, r_mask, r_rank = ref.space_filling_cluster(
+            torch.from_numpy(pos), m, h, w, no_reorder=False
+        )
+    finally:
+        torch.Tensor.sort = orig_sort
+    j_pos, j_mean, j_member, j_mask, j_rank = space_filling_cluster(
+        jnp.asarray(pos), m, h, w, no_reorder=False
+    )
+    np.testing.assert_allclose(np.asarray(j_pos), r_pos.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(j_mean), r_mean.numpy(), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(j_member), r_member.numpy())
+    if r_mask is None:
+        assert j_mask is None
+    else:
+        np.testing.assert_array_equal(np.asarray(j_mask), r_mask.numpy())
+    np.testing.assert_array_equal(
+        np.asarray(j_rank)[..., 0], r_rank.numpy()[..., 0]
+    )
+
+
+def test_space_filling_cluster_shapes():
+    h = w = 16
+    pos = jnp.asarray(_grid_pos(2, h, w))
+    p, mean, member, mask, rank = space_filling_cluster(pos, 8, h, w)
+    assert p.shape == (2, 256, 2)
+    assert mean.shape == (2, 32, 2)
+    assert member.shape == (2, 32, 8)
+    assert mask is None
+    assert rank.shape == (2, 256, 1)
+    # every cluster's members are contiguous in the sorted order
+    np.testing.assert_array_equal(
+        np.asarray(member[0]).reshape(-1), np.arange(256)
+    )
+
+
+# ---------------------------------------------------------------- shepard
+@pytest.mark.skipif(not HAS_REF, reason="reference absent")
+def test_shepard_weights_match_reference():
+    import torch
+    from reference_port import load_reference_point_utils
+
+    ref = load_reference_point_utils()
+    rng = np.random.default_rng(4)
+    dist = rng.uniform(0, 10, size=(2, 13, 4)).astype(np.float32)
+    r = ref.shepard_decay_weights(torch.from_numpy(dist), power=3).numpy()
+    j = np.asarray(shepard_decay_weights(jnp.asarray(dist), power=3))
+    np.testing.assert_allclose(j, r, rtol=1e-5, atol=1e-6)
+
+
+def test_upsample_feature_shepard_interpolates():
+    # database on a coarse grid, query at database points -> near-exact recovery
+    db = jnp.asarray(_grid_pos(1, 4, 4)) * 4.0
+    feat = jnp.arange(16, dtype=jnp.float32).reshape(1, 16, 1)
+    up = upsample_feature_shepard(db, db, feat, k=4, power=3)
+    # nearest neighbor dominates strongly (d=0 vs d>=16 squared)
+    np.testing.assert_allclose(np.asarray(up), np.asarray(feat), atol=1e-2)
+
+
+def test_upsample_weight_only_and_nn_idx_override():
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.uniform(0, 8, (1, 10, 2)).astype(np.float32))
+    db = jnp.asarray(rng.uniform(0, 8, (1, 6, 2)).astype(np.float32))
+    w = upsample_feature_shepard(q, db, None, k=4, return_weight_only=True)
+    assert w.shape == (1, 10, 4)
+    np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0, atol=1e-2)  # sums slightly <1 by the reference eps
+
+
+# --------------------------------------------------------------- rasterize
+def test_points2img_roundtrip():
+    h = w = 4
+    pos = jnp.asarray(_grid_pos(2, h, w))
+    pix = jnp.arange(2 * 16 * 3, dtype=jnp.float32).reshape(2, 16, 3)
+    img = points2img(pos, pix, h, w)
+    assert img.shape == (2, 3, 4, 4)
+    np.testing.assert_allclose(
+        np.asarray(img[0, :, 0, 0]), np.asarray(pix[0, 0])
+    )
+    np.testing.assert_allclose(
+        np.asarray(img[0, :, 1, 2]), np.asarray(pix[0, 6])  # y=1,x=2 -> token 6
+    )
+
+
+def test_point2img_scatter():
+    h, w = 2, 3
+    pos = jnp.asarray(_grid_pos(1, h, w))
+    x = jnp.arange(2 * 6, dtype=jnp.float32).reshape(1, 2, 6)
+    img = point2img(x, pos, (h, w))
+    assert img.shape == (1, 2, 2, 3)
+    np.testing.assert_allclose(np.asarray(img[0, 0]).reshape(-1), np.asarray(x[0, 0]))
+
+
+def test_find_pos_indices_in_pos():
+    all_pos = jnp.asarray(_grid_pos(1, 4, 4))
+    some = all_pos[:, [3, 7, 11]]
+    idx = find_pos_indices_in_pos(all_pos, some)
+    np.testing.assert_array_equal(np.asarray(idx)[0, :, 0], [3, 7, 11])
