@@ -1,0 +1,97 @@
+"""MaskFormer meta-architecture: backbone -> pixel decoder -> mask decoder.
+
+TPU-native rebuild of reference mask2former/maskformer_model.py and
+meta_arch/mask_former_head.py.  The nn.Module produces the raw prediction
+dict; losses (Hungarian + criterion) and inference post-processing are pure
+functions applied by the train/eval steps — keeping the module functional and
+the host-callback matcher out of the model graph.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .aff import AFF, aff_from_config
+from .pixel_decoder import MSDeformAttnPixelDecoder, pixel_decoder_from_config
+from .transformer_decoder import (
+    MultiScaleMaskedTransformerDecoder,
+    transformer_decoder_from_config,
+)
+
+
+class MaskFormerHead(nn.Module):
+    """pixel_decoder.forward_features -> transformer predictor
+    (mask_former_head.py:111-128)."""
+
+    pixel_decoder: MSDeformAttnPixelDecoder
+    predictor: MultiScaleMaskedTransformerDecoder
+
+    @nn.compact
+    def __call__(self, features: Dict, deterministic: bool = True) -> Dict:
+        mask_features, mf_pos, _, multi_scale_features, multi_scale_poss = (
+            self.pixel_decoder(features, deterministic)
+        )
+        finest = self.pixel_decoder.in_features[0]
+        mask_size = features[finest + "_spatial_shape"]
+        return self.predictor(
+            multi_scale_features, multi_scale_poss, mask_features, mf_pos,
+            mask_size, deterministic,
+        )
+
+
+class MaskFormer(nn.Module):
+    """(maskformer_model.py:21-381).  __call__ takes normalized NHWC images and
+    returns {'pred_logits', 'pred_masks', 'aux_outputs'}."""
+
+    backbone: AFF
+    head: MaskFormerHead
+    pixel_mean: Sequence[float] = (123.675, 116.28, 103.53)
+    pixel_std: Sequence[float] = (58.395, 57.12, 57.375)
+
+    def normalize(self, images: jnp.ndarray) -> jnp.ndarray:
+        """images: (b, H, W, 3) raw RGB floats -> normalized."""
+        mean = jnp.asarray(self.pixel_mean, images.dtype)
+        std = jnp.asarray(self.pixel_std, images.dtype)
+        return (images - mean) / std
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, train: bool = False) -> Dict:
+        x = self.normalize(images)
+        features = self.backbone(x, train=train)
+        return self.head(features, deterministic=not train)
+
+
+def maskformer_from_config(cfg, use_pallas: Optional[bool] = None) -> MaskFormer:
+    backbone = aff_from_config(cfg, use_pallas=use_pallas)
+    feature_channels = {
+        f"res{i + 2}": int(c) for i, c in enumerate(cfg.MODEL.AFF.EMBED_DIM)
+    }
+    pixel_decoder = pixel_decoder_from_config(cfg, feature_channels)
+    predictor = transformer_decoder_from_config(cfg, cfg.MODEL.SEM_SEG_HEAD.CONVS_DIM)
+    head = MaskFormerHead(pixel_decoder=pixel_decoder, predictor=predictor)
+    return MaskFormer(
+        backbone=backbone,
+        head=head,
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+    )
+
+
+# ---------------------------------------------------------------- inference
+def upsample_masks(mask_pred: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear-resize (b, q, h, w) mask logits to the padded input size
+    (maskformer_model.py:223-228)."""
+    b, q, h, w = mask_pred.shape
+    return jax.image.resize(mask_pred, (b, q, *out_hw), method="bilinear")
+
+
+def semantic_inference(mask_cls: jnp.ndarray, mask_pred: jnp.ndarray) -> jnp.ndarray:
+    """(q, nc+1) logits + (q, h, w) mask logits -> (nc, h, w) class scores
+    (maskformer_model.py:281-285)."""
+    cls = jax.nn.softmax(mask_cls, axis=-1)[..., :-1]
+    masks = jax.nn.sigmoid(mask_pred)
+    return jnp.einsum("qc,qhw->chw", cls, masks)

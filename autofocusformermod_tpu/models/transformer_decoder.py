@@ -1,0 +1,251 @@
+"""Point-cloud Mask2Former transformer decoder.
+
+TPU-native rebuild of reference
+mask2former/modeling/transformer_decoder/mask2former_transformer_decoder.py:
+100 learnable queries, ``dec_layers`` rounds of masked cross-attention ->
+self-attention -> FFN cycling over 3 feature levels, with prediction heads
+between rounds.  The attention mask is produced by Shepard-upsampling the
+current mask logits to the *next* level's point positions and thresholding
+sigmoid < 0.5 (reference :484-486); fully-masked rows are un-masked (:431).
+Masks rasterize onto the stride-4 canvas by scatter (geometry/rasterize.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..geometry.rasterize import point2img
+from ..geometry.shepard import upsample_feature_shepard
+from .layers import MLP, position_embedding_sine
+
+
+class MultiheadAttention(nn.Module):
+    """Batch-first multi-head attention with an optional boolean mask
+    (True = blocked), matching torch.nn.MultiheadAttention semantics."""
+
+    d_model: int
+    nhead: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, query, key, value, attn_mask=None, deterministic: bool = True):
+        b, nq, c = query.shape
+        h = self.nhead
+        c_ = c // h
+        q = nn.Dense(c, name="q_proj")(query).reshape(b, nq, h, c_)
+        k = nn.Dense(c, name="k_proj")(key).reshape(b, key.shape[1], h, c_)
+        v = nn.Dense(c, name="v_proj")(value).reshape(b, value.shape[1], h, c_)
+        logits = jnp.einsum("bqhc,bkhc->bhqk", q, k) / jnp.sqrt(c_).astype(q.dtype)
+        if attn_mask is not None:
+            # attn_mask: (b, h, nq, nk) bool, True = not allowed to attend
+            logits = jnp.where(attn_mask, -1e9, logits)
+        attn = jax.nn.softmax(logits, axis=-1)
+        attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
+        out = jnp.einsum("bhqk,bkhc->bqhc", attn, v).reshape(b, nq, c)
+        return nn.Dense(c, name="out_proj")(out)
+
+
+class SelfAttentionLayer(nn.Module):
+    """(mask2former_transformer_decoder.py:42-97), post-norm variant."""
+
+    d_model: int
+    nhead: int
+    dropout: float = 0.0
+    pre_norm: bool = False
+
+    @nn.compact
+    def __call__(self, tgt, query_pos, deterministic: bool = True):
+        attn = MultiheadAttention(self.d_model, self.nhead, self.dropout, name="self_attn")
+        norm = nn.LayerNorm(name="norm")
+        drop = nn.Dropout(self.dropout, deterministic=deterministic)
+        if self.pre_norm:
+            t = norm(tgt)
+            qk = t + query_pos
+            return tgt + drop(attn(qk, qk, t, deterministic=deterministic))
+        qk = tgt + query_pos
+        tgt = tgt + drop(attn(qk, qk, tgt, deterministic=deterministic))
+        return norm(tgt)
+
+
+class CrossAttentionLayer(nn.Module):
+    """(mask2former_transformer_decoder.py:100-160)."""
+
+    d_model: int
+    nhead: int
+    dropout: float = 0.0
+    pre_norm: bool = False
+
+    @nn.compact
+    def __call__(self, tgt, memory, memory_mask, pos, query_pos, deterministic: bool = True):
+        attn = MultiheadAttention(self.d_model, self.nhead, self.dropout, name="multihead_attn")
+        norm = nn.LayerNorm(name="norm")
+        drop = nn.Dropout(self.dropout, deterministic=deterministic)
+        if self.pre_norm:
+            t = norm(tgt)
+            return tgt + drop(
+                attn(t + query_pos, memory + pos, memory, memory_mask, deterministic)
+            )
+        tgt = tgt + drop(
+            attn(tgt + query_pos, memory + pos, memory, memory_mask, deterministic)
+        )
+        return norm(tgt)
+
+
+class FFNLayer(nn.Module):
+    """(mask2former_transformer_decoder.py:163-203)."""
+
+    d_model: int
+    dim_feedforward: int
+    dropout: float = 0.0
+    pre_norm: bool = False
+
+    @nn.compact
+    def __call__(self, tgt, deterministic: bool = True):
+        norm = nn.LayerNorm(name="norm")
+        drop = nn.Dropout(self.dropout, deterministic=deterministic)
+        lin1 = nn.Dense(self.dim_feedforward, name="linear1")
+        lin2 = nn.Dense(self.d_model, name="linear2")
+        if self.pre_norm:
+            t = norm(tgt)
+            return tgt + drop(lin2(drop(nn.relu(lin1(t)))))
+        tgt = tgt + drop(lin2(drop(nn.relu(lin1(tgt)))))
+        return norm(tgt)
+
+
+class MultiScaleMaskedTransformerDecoder(nn.Module):
+    """(mask2former_transformer_decoder.py:232-501).
+
+    __call__(x, pos, mask_features, mf_pos, mask_size) -> dict with
+    'pred_logits' (b, q, nc+1), 'pred_masks' (b, q, h, w), 'aux_outputs'.
+    """
+
+    in_channels: int
+    num_classes: int
+    hidden_dim: int = 256
+    num_queries: int = 100
+    nheads: int = 8
+    dim_feedforward: int = 2048
+    dec_layers: int = 9          # config DEC_LAYERS - 1
+    pre_norm: bool = False
+    mask_dim: int = 256
+    enforce_input_project: bool = False
+    num_feature_levels: int = 3
+
+    def setup(self):
+        self.query_feat = nn.Embed(self.num_queries, self.hidden_dim)
+        self.query_embed = nn.Embed(self.num_queries, self.hidden_dim)
+        self.level_embed = nn.Embed(self.num_feature_levels, self.hidden_dim)
+        if self.in_channels != self.hidden_dim or self.enforce_input_project:
+            self.input_proj = [
+                nn.Dense(self.hidden_dim, name=f"input_proj_{i}")
+                for i in range(self.num_feature_levels)
+            ]
+        else:
+            self.input_proj = [None] * self.num_feature_levels
+        self.cross_layers = [
+            CrossAttentionLayer(self.hidden_dim, self.nheads, 0.0, self.pre_norm,
+                                name=f"cross_{i}")
+            for i in range(self.dec_layers)
+        ]
+        self.self_layers = [
+            SelfAttentionLayer(self.hidden_dim, self.nheads, 0.0, self.pre_norm,
+                               name=f"self_{i}")
+            for i in range(self.dec_layers)
+        ]
+        self.ffn_layers = [
+            FFNLayer(self.hidden_dim, self.dim_feedforward, 0.0, self.pre_norm,
+                     name=f"ffn_{i}")
+            for i in range(self.dec_layers)
+        ]
+        self.decoder_norm = nn.LayerNorm()
+        self.class_embed = nn.Dense(self.num_classes + 1)
+        self.mask_embed = MLP(self.hidden_dim, self.mask_dim, 3)
+
+    def _prediction_heads(self, output, mask_features, mf_pos, target_pos):
+        """(reference :468-488). output: (b, q, c)."""
+        dec = self.decoder_norm(output)
+        outputs_class = self.class_embed(dec)                       # (b, q, nc+1)
+        mask_embed = self.mask_embed(dec)                           # (b, q, cm)
+        outputs_mask = jnp.einsum("bqc,bnc->bqn", mask_embed, mask_features)
+        # upsample mask logits to the next level's positions -> attention mask
+        am = upsample_feature_shepard(
+            target_pos, mf_pos, outputs_mask.transpose(0, 2, 1)
+        ).transpose(0, 2, 1)                                        # (b, q, n_lvl)
+        am = jax.lax.stop_gradient(jax.nn.sigmoid(am) < 0.5)        # True = blocked
+        attn_mask = jnp.broadcast_to(
+            am[:, None], (am.shape[0], self.nheads, am.shape[1], am.shape[2])
+        )
+        return outputs_class, outputs_mask, attn_mask
+
+    def __call__(self, x: List, pos: List, mask_features, mf_pos,
+                 mask_size: Tuple[int, int], deterministic: bool = True) -> Dict:
+        assert len(x) == self.num_feature_levels
+        b = x[0].shape[0]
+
+        src, pos_emb = [], []
+        for i in range(self.num_feature_levels):
+            pos_emb.append(position_embedding_sine(pos[i], self.hidden_dim // 2))
+            s = x[i] if self.input_proj[i] is None else self.input_proj[i](x[i])
+            src.append(s + self.level_embed(jnp.asarray(i))[None, None, :])
+
+        query_embed = jnp.broadcast_to(
+            self.query_embed.embedding[None], (b, self.num_queries, self.hidden_dim)
+        )
+        output = jnp.broadcast_to(
+            self.query_feat.embedding[None], (b, self.num_queries, self.hidden_dim)
+        )
+
+        predictions_class, predictions_mask = [], []
+        outputs_class, outputs_mask, attn_mask = self._prediction_heads(
+            output, mask_features, mf_pos, pos[0]
+        )
+        predictions_class.append(outputs_class)
+        predictions_mask.append(point2img(outputs_mask, mf_pos, mask_size))
+
+        for i in range(self.dec_layers):
+            level_index = i % self.num_feature_levels
+            # un-mask rows that mask out everything (reference :431)
+            full = jnp.all(attn_mask, axis=-1, keepdims=True)
+            attn_mask = jnp.logical_and(attn_mask, jnp.logical_not(full))
+
+            output = self.cross_layers[i](
+                output, src[level_index], attn_mask,
+                pos_emb[level_index], query_embed, deterministic,
+            )
+            output = self.self_layers[i](output, query_embed, deterministic)
+            output = self.ffn_layers[i](output, deterministic)
+
+            outputs_class, outputs_mask, attn_mask = self._prediction_heads(
+                output, mask_features, mf_pos, pos[(i + 1) % self.num_feature_levels]
+            )
+            predictions_class.append(outputs_class)
+            predictions_mask.append(point2img(outputs_mask, mf_pos, mask_size))
+
+        return {
+            "pred_logits": predictions_class[-1],
+            "pred_masks": predictions_mask[-1],
+            "aux_outputs": tuple(
+                {"pred_logits": a, "pred_masks": m}
+                for a, m in zip(predictions_class[:-1], predictions_mask[:-1])
+            ),
+        }
+
+
+def transformer_decoder_from_config(cfg, in_channels: int) -> MultiScaleMaskedTransformerDecoder:
+    """Mirror of from_config (mask2former_transformer_decoder.py:362-387)."""
+    return MultiScaleMaskedTransformerDecoder(
+        in_channels=in_channels,
+        num_classes=cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
+        hidden_dim=cfg.MODEL.MASK_FORMER.HIDDEN_DIM,
+        num_queries=cfg.MODEL.MASK_FORMER.NUM_OBJECT_QUERIES,
+        nheads=cfg.MODEL.MASK_FORMER.NHEADS,
+        dim_feedforward=cfg.MODEL.MASK_FORMER.DIM_FEEDFORWARD,
+        dec_layers=cfg.MODEL.MASK_FORMER.DEC_LAYERS - 1,
+        pre_norm=cfg.MODEL.MASK_FORMER.PRE_NORM,
+        mask_dim=cfg.MODEL.SEM_SEG_HEAD.MASK_DIM,
+        enforce_input_project=cfg.MODEL.MASK_FORMER.ENFORCE_INPUT_PROJ,
+    )
