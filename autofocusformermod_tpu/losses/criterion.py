@@ -1,0 +1,141 @@
+"""SetCriterion — Hungarian-matched class + point-sampled mask losses.
+
+Rebuild of reference mask2former/modeling/criterion.py with static padded
+targets.  Per (main + aux) output: match queries to targets, then
+
+  - loss_ce   : CE over classes with ``eos_coef`` weight on no-object
+  - loss_mask : sigmoid-CE on PointRend-style uncertainty-sampled points
+  - loss_dice : dice on the same points
+
+normalized by the *global* number of valid masks.  Under GSPMD data
+parallelism the global sum over the sharded batch is exactly the reference's
+``all_reduce(num_masks)/world`` normalization (criterion.py:232-238): DDP
+averages rank losses, so effective loss = global_sum / global_num_masks,
+which is what we compute directly (degenerate num_masks < world case differs
+by the reference's per-rank clamp; we clamp globally at 1).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .matcher import hungarian_match
+from .point_sample import (
+    get_uncertain_point_coords_with_randomness,
+    point_sample,
+)
+
+
+def dice_loss(inputs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """inputs/targets: (n, p) -> (n,) per-mask dice (criterion.py:17-35)."""
+    inputs = jax.nn.sigmoid(inputs)
+    numerator = 2 * jnp.sum(inputs * targets, axis=-1)
+    denominator = jnp.sum(inputs, axis=-1) + jnp.sum(targets, axis=-1)
+    return 1 - (numerator + 1) / (denominator + 1)
+
+
+def sigmoid_ce_loss(inputs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """(n, p) -> (n,) mean BCE per mask (criterion.py:43-59)."""
+    loss = jax.nn.softplus(inputs) - inputs * targets  # BCE-with-logits
+    return jnp.mean(loss, axis=-1)
+
+
+def _loss_labels(pred_logits, tgt_labels, tgt_valid, matched, num_classes, eos_coef):
+    """CE with no-object class weighting (criterion.py:116-136)."""
+    b, q, _ = pred_logits.shape
+    batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], matched.shape)
+    target_classes = jnp.full((b, q), num_classes, dtype=jnp.int32)
+    scatter_cls = jnp.where(tgt_valid, tgt_labels, num_classes)
+    target_classes = target_classes.at[batch_idx, matched].set(scatter_cls)
+
+    logp = jax.nn.log_softmax(pred_logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, target_classes[..., None], axis=-1)[..., 0]
+    weight = jnp.where(target_classes == num_classes, eos_coef, 1.0)
+    return jnp.sum(weight * nll) / jnp.sum(weight)
+
+
+def _loss_masks(key, pred_masks, tgt_masks, tgt_valid, matched, num_masks,
+                num_points, oversample_ratio, importance_sample_ratio):
+    """Point-sampled sigmoid-CE + dice (criterion.py:138-193)."""
+    b, q, h, w = pred_masks.shape
+    t = matched.shape[1]
+    src = jnp.take_along_axis(
+        pred_masks, matched[:, :, None, None], axis=1
+    )  # (b, t, h, w)
+    src_flat = src.reshape(b * t, h, w)
+    H, W = tgt_masks.shape[-2:]
+    tgt_flat = tgt_masks.reshape(b * t, H, W).astype(src_flat.dtype)
+    valid_flat = tgt_valid.reshape(b * t)
+
+    coords = jax.lax.stop_gradient(
+        get_uncertain_point_coords_with_randomness(
+            key, jax.lax.stop_gradient(src_flat), num_points,
+            oversample_ratio, importance_sample_ratio,
+        )
+    )
+    point_labels = point_sample(tgt_flat, coords)
+    point_logits = point_sample(src_flat, coords)
+
+    lm = sigmoid_ce_loss(point_logits, point_labels)
+    ld = dice_loss(point_logits, point_labels)
+    vf = valid_flat.astype(lm.dtype)
+    return (
+        jnp.sum(lm * vf) / num_masks,
+        jnp.sum(ld * vf) / num_masks,
+    )
+
+
+def set_criterion(
+    key: jax.Array,
+    outputs: Dict,
+    targets: Dict,
+    num_classes: int,
+    *,
+    eos_coef: float = 0.1,
+    class_weight: float = 2.0,
+    mask_weight: float = 5.0,
+    dice_weight: float = 5.0,
+    num_points: int = 12544,
+    oversample_ratio: float = 3.0,
+    importance_sample_ratio: float = 0.75,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Compute the full deep-supervision loss (criterion.py:215-260).
+
+    outputs - {'pred_logits', 'pred_masks', 'aux_outputs': tuple of dicts}
+    targets - {'labels': (b,t) int32, 'masks': (b,t,H,W), 'valid': (b,t) bool}
+    Returns (total weighted loss, dict of unweighted per-term losses).
+    """
+    tgt_labels = targets["labels"]
+    tgt_masks = targets["masks"]
+    tgt_valid = targets["valid"]
+    b, t = tgt_labels.shape
+
+    num_masks = jnp.maximum(jnp.sum(tgt_valid.astype(jnp.float32)), 1.0)
+
+    all_outputs = [outputs] + list(outputs.get("aux_outputs", ()))
+    losses: Dict[str, jnp.ndarray] = {}
+    total = 0.0
+    for i, out in enumerate(all_outputs):
+        key, k_match, k_pts = jax.random.split(key, 3)
+        point_coords = jax.random.uniform(k_match, (b, num_points, 2))
+        matched = hungarian_match(
+            out["pred_logits"], out["pred_masks"],
+            tgt_labels, tgt_masks, tgt_valid, point_coords,
+            cost_class=class_weight, cost_mask=mask_weight, cost_dice=dice_weight,
+        )
+        l_ce = _loss_labels(
+            out["pred_logits"], tgt_labels, tgt_valid, matched, num_classes, eos_coef
+        )
+        l_mask, l_dice = _loss_masks(
+            k_pts, out["pred_masks"], tgt_masks, tgt_valid, matched, num_masks,
+            num_points, oversample_ratio, importance_sample_ratio,
+        )
+        suffix = "" if i == 0 else f"_{i - 1}"
+        losses[f"loss_ce{suffix}"] = l_ce
+        losses[f"loss_mask{suffix}"] = l_mask
+        losses[f"loss_dice{suffix}"] = l_dice
+        total = total + class_weight * l_ce + mask_weight * l_mask + dice_weight * l_dice
+    return total, losses

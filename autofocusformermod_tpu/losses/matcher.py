@@ -1,0 +1,112 @@
+"""Hungarian matching between queries and padded ground-truth instances.
+
+Rebuild of reference mask2former/modeling/matcher.py with static shapes:
+targets are padded to a fixed ``max_gt`` per image with a validity mask.
+The class+mask(BCE)+dice cost matrix is computed on device over
+``num_points`` shared random sample points (matcher.py:96-153); the LSAP
+itself runs on the host via ``jax.pure_callback`` into scipy — exactly where
+the reference runs it (matcher.py:154-156) — batched in one callback per step.
+
+Invalid target columns get a large constant cost, which leaves the assignment
+over valid columns optimal; losses mask out the invalid matches.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .point_sample import point_sample
+
+_INVALID_COST = 1e8
+
+
+def batch_sigmoid_ce_cost(inputs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise mean binary-CE cost (matcher.py:39-63).
+    inputs: (q, p) logits; targets: (t, p) in {0,1} -> (q, t)."""
+    p = inputs.shape[1]
+    pos = jax.nn.softplus(-inputs)          # BCE against 1
+    neg = jax.nn.softplus(inputs)           # BCE against 0
+    loss = jnp.einsum("qp,tp->qt", pos, targets) + jnp.einsum(
+        "qp,tp->qt", neg, 1 - targets
+    )
+    return loss / p
+
+
+def batch_dice_cost(inputs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise dice cost (matcher.py:16-31)."""
+    inputs = jax.nn.sigmoid(inputs)
+    numerator = 2 * jnp.einsum("qp,tp->qt", inputs, targets)
+    denominator = inputs.sum(-1)[:, None] + targets.sum(-1)[None, :]
+    return 1 - (numerator + 1) / (denominator + 1)
+
+
+def _lsap_host(cost: np.ndarray) -> np.ndarray:
+    """Batched LSAP on host. cost: (b, q, t) -> matched query per target (b, t)."""
+    from scipy.optimize import linear_sum_assignment
+
+    b, q, t = cost.shape
+    out = np.zeros((b, t), dtype=np.int32)
+    for i in range(b):
+        c = np.nan_to_num(cost[i], nan=_INVALID_COST, posinf=_INVALID_COST,
+                          neginf=-_INVALID_COST)
+        rows, cols = linear_sum_assignment(c)
+        out[i, cols] = rows.astype(np.int32)
+    return out
+
+
+def hungarian_match(
+    pred_logits: jnp.ndarray,
+    pred_masks: jnp.ndarray,
+    tgt_labels: jnp.ndarray,
+    tgt_masks: jnp.ndarray,
+    tgt_valid: jnp.ndarray,
+    point_coords: jnp.ndarray,
+    cost_class: float,
+    cost_mask: float,
+    cost_dice: float,
+) -> jnp.ndarray:
+    """Match queries to padded targets.
+
+    pred_logits - (b, q, nc+1); pred_masks - (b, q, h, w)
+    tgt_labels  - (b, t) int32; tgt_masks - (b, t, H, W); tgt_valid - (b, t)
+    point_coords- (b, p, 2) shared random points (same for preds and targets,
+                  matcher.py:121)
+    Returns matched query index per target slot, (b, t) int32.
+    """
+    b, q = pred_logits.shape[:2]
+    t = tgt_labels.shape[1]
+
+    def per_image(logits, masks, labels, gt_masks, valid, coords):
+        out_prob = jax.nn.softmax(logits, axis=-1)            # (q, nc+1)
+        cc = -out_prob[:, labels]                             # (q, t)
+
+        coords_q = jnp.broadcast_to(coords[None], (q,) + coords.shape)
+        coords_t = jnp.broadcast_to(coords[None], (t,) + coords.shape)
+        out_pts = point_sample(masks, coords_q)               # (q, p)
+        tgt_pts = point_sample(gt_masks, coords_t)            # (t, p)
+
+        cm = batch_sigmoid_ce_cost(out_pts, tgt_pts)
+        cd = batch_dice_cost(out_pts, tgt_pts)
+        # NaN guard (matcher_mixed.py:113-147 generalizes this; harmless here)
+        cm = jnp.nan_to_num(cm, nan=1e6)
+        cd = jnp.nan_to_num(cd, nan=1e6)
+
+        cost = cost_mask * cm + cost_class * cc + cost_dice * cd
+        return jnp.where(valid[None, :], cost, _INVALID_COST)
+
+    cost = jax.vmap(per_image)(
+        pred_logits, pred_masks, tgt_labels, tgt_masks, tgt_valid, point_coords
+    )  # (b, q, t)
+
+    matched = jax.pure_callback(
+        _lsap_host,
+        jax.ShapeDtypeStruct((b, t), jnp.int32),
+        jax.lax.stop_gradient(cost).astype(jnp.float32),
+        vmap_method="sequential",
+    )
+    return matched

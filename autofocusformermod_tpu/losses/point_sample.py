@@ -1,0 +1,83 @@
+"""Point sampling of mask logits — PointRend-style utilities.
+
+JAX equivalents of detectron2's ``point_sample`` and
+``get_uncertain_point_coords_with_randomness`` as used by the reference
+criterion (criterion.py:159-180) and matcher (matcher.py:121-133).
+
+``point_sample`` matches torch ``grid_sample(align_corners=False,
+padding_mode='zeros')`` on coords in [0, 1].
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def point_sample(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear-sample masks at normalized coordinates.
+
+    masks  - (n, h, w)
+    coords - (n, p, 2) in [0, 1], (x, y) order
+    returns (n, p)
+    """
+    n, h, w = masks.shape
+    x = coords[..., 0] * w - 0.5
+    y = coords[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+
+    def tap(xi, yi):
+        inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        flat = masks.reshape(n, h * w)
+        v = jnp.take_along_axis(flat, yi_c * w + xi_c, axis=1)
+        return jnp.where(inb, v, 0.0)
+
+    v00 = tap(x0, y0)
+    v01 = tap(x0 + 1, y0)
+    v10 = tap(x0, y0 + 1)
+    v11 = tap(x0 + 1, y0 + 1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def calculate_uncertainty(logits: jnp.ndarray) -> jnp.ndarray:
+    """Uncertainty = -|logit| (criterion.py:67-81). logits: (n, p) -> (n, p)."""
+    return -jnp.abs(logits)
+
+
+def get_uncertain_point_coords_with_randomness(
+    key: jax.Array,
+    mask_logits: jnp.ndarray,
+    num_points: int,
+    oversample_ratio: float,
+    importance_sample_ratio: float,
+) -> jnp.ndarray:
+    """Sample ``num_points`` coords per mask: the most-uncertain fraction from
+    an oversampled random pool plus a random remainder (detectron2 point_rend
+    semantics used at criterion.py:161-167).
+
+    mask_logits: (n, h, w) -> coords (n, num_points, 2) in [0, 1].
+    """
+    n = mask_logits.shape[0]
+    num_sampled = int(num_points * oversample_ratio)
+    k1, k2 = jax.random.split(key)
+    coords = jax.random.uniform(k1, (n, num_sampled, 2))
+    logits = point_sample(mask_logits, coords)
+    unc = calculate_uncertainty(logits)
+
+    num_uncertain = int(importance_sample_ratio * num_points)
+    num_random = num_points - num_uncertain
+    _, idx = jax.lax.top_k(unc, num_uncertain)            # (n, num_uncertain)
+    picked = jnp.take_along_axis(coords, idx[..., None], axis=1)
+    if num_random > 0:
+        rand = jax.random.uniform(k2, (n, num_random, 2))
+        picked = jnp.concatenate([picked, rand], axis=1)
+    return picked

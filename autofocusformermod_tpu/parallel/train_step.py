@@ -1,0 +1,104 @@
+"""The jitted training step: forward -> Hungarian+criterion -> grad -> clip ->
+AdamW update, data-parallel over the mesh via GSPMD.
+
+Replaces the reference's detectron2 SimpleTrainer.run_step + DDP backward
+(SURVEY.md section 3.1): one compiled program per step; gradient all-reduce is
+inserted by XLA from the shardings (batch on ``data``, params replicated).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..losses.criterion import set_criterion
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params, batch_stats, tx):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            tx=tx,
+        )
+
+
+def make_train_step(
+    model,
+    num_classes: int,
+    *,
+    eos_coef: float = 0.1,
+    class_weight: float = 2.0,
+    mask_weight: float = 5.0,
+    dice_weight: float = 5.0,
+    num_points: int = 12544,
+    oversample_ratio: float = 3.0,
+    importance_sample_ratio: float = 0.75,
+    donate: bool = True,
+) -> Callable:
+    """Returns train_step(state, batch, key) -> (state, metrics).
+
+    batch: {'image': (b, H, W, 3) float32 RGB,
+            'labels': (b, t) int32, 'masks': (b, t, H, W) float32,
+            'valid': (b, t) bool}
+    """
+
+    def loss_fn(params, batch_stats, batch, key):
+        k_drop, k_crit = jax.random.split(key)
+        outputs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"],
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": k_drop},
+        )
+        targets = {
+            "labels": batch["labels"],
+            "masks": batch["masks"],
+            "valid": batch["valid"],
+        }
+        total, losses = set_criterion(
+            k_crit, outputs, targets, num_classes,
+            eos_coef=eos_coef,
+            class_weight=class_weight,
+            mask_weight=mask_weight,
+            dice_weight=dice_weight,
+            num_points=num_points,
+            oversample_ratio=oversample_ratio,
+            importance_sample_ratio=importance_sample_ratio,
+        )
+        return total, (losses, mutated["batch_stats"])
+
+    def train_step(state: TrainState, batch, key) -> Tuple[TrainState, Dict]:
+        (total, (losses, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, key)
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"total_loss": total, **losses}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+        )
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)

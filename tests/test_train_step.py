@@ -1,0 +1,85 @@
+"""Train-step tests: loss decreases when overfitting one tiny batch, and the
+full step runs sharded over the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from autofocusformermod_tpu.config import get_cfg, add_maskformer2_config
+from autofocusformermod_tpu.engine.optimizer import build_optimizer
+from autofocusformermod_tpu.models import maskformer_from_config
+from autofocusformermod_tpu.parallel import (
+    TrainState,
+    make_mesh,
+    make_train_step,
+    replicate,
+    shard_batch,
+)
+
+from test_maskformer import tiny_cfg
+
+
+def _tiny_batch(b=2, H=64, W=64, t=3, nc=7, seed=0):
+    rng = np.random.default_rng(seed)
+    masks = np.zeros((b, t, H, W), np.float32)
+    masks[:, 0, : H // 2] = 1.0
+    masks[:, 1, H // 2 :] = 1.0
+    return {
+        "image": jnp.asarray(rng.uniform(0, 255, (b, H, W, 3)), jnp.float32),
+        "labels": jnp.asarray(rng.integers(0, nc, (b, t)), jnp.int32),
+        "masks": jnp.asarray(masks),
+        "valid": jnp.asarray([[True, True, False]] * b),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    cfg.SOLVER.BASE_LR = 1e-3
+    cfg.SOLVER.MAX_ITER = 100
+    model = maskformer_from_config(cfg)
+    batch = _tiny_batch(nc=cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES)
+    variables = model.init(jax.random.PRNGKey(0), batch["image"], train=False)
+    tx = build_optimizer(cfg, variables["params"])
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    step_fn = make_train_step(
+        model, cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
+        num_points=64, donate=False,
+    )
+    return cfg, model, state, step_fn, batch
+
+
+def test_single_steps_decrease_loss(setup):
+    cfg, model, state, step_fn, batch = setup
+    # fixed key -> fixed sample points and matching costs: the loss landscape
+    # is deterministic, so plain descent must reduce it
+    key = jax.random.PRNGKey(42)
+    losses = []
+    grad_norms = []
+    for i in range(8):
+        state, metrics = step_fn(state, batch, key)
+        losses.append(float(metrics["total_loss"]))
+        grad_norms.append(float(metrics["grad_norm"]))
+        assert np.isfinite(losses[-1])
+    assert all(g > 0 for g in grad_norms)
+    # overfitting one batch: loss at the end below the start
+    assert min(losses[-3:]) < losses[0], losses
+
+
+def test_sharded_step_runs_on_mesh(setup):
+    cfg, model, state, step_fn, batch = setup
+    mesh = make_mesh(8)
+    # batch of 8 so each device gets one sample
+    big = jax.tree_util.tree_map(
+        lambda x: jnp.concatenate([x] * 4, axis=0), batch
+    )
+    big = shard_batch(mesh, big)
+    state = jax.tree_util.tree_map(lambda x: x, state)  # fresh copy
+    state = replicate(
+        mesh,
+        state,
+    )
+    new_state, metrics = step_fn(state, big, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert int(new_state.step) == int(state.step) + 1
