@@ -1,0 +1,139 @@
+"""MaskFormer semantic dataset mapper.
+
+Rebuild of reference mask2former/data/dataset_mappers/
+mask_former_semantic_dataset_mapper.py:62-185: read image + semseg png ->
+multi-scale ResizeShortestEdge -> category-constrained RandomCrop ->
+ColorAugSSD -> flip -> pad to size_divisibility (img 128, gt 255) -> per-class
+binary masks.
+
+Static-shape addition for TPU: masks are padded to ``max_gt`` instance slots
+with a validity mask, so every batch has identical shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from . import transforms as T
+
+
+def read_image(path: str) -> np.ndarray:
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def read_sem_seg(path: str) -> np.ndarray:
+    return np.asarray(Image.open(path)).astype(np.int64)
+
+
+class MaskFormerSemanticDatasetMapper:
+    def __init__(
+        self,
+        is_train: bool = True,
+        *,
+        min_size_train: Sequence[int] = (512,),
+        max_size_train: int = 2048,
+        min_size_test: int = 512,
+        max_size_test: int = 2048,
+        crop_enabled: bool = True,
+        crop_size=(512, 512),
+        single_category_max_area: float = 1.0,
+        color_aug_ssd: bool = True,
+        size_divisibility: int = 512,
+        ignore_label: int = 255,
+        max_gt: int = 100,
+        seed: int = 0,
+    ):
+        self.is_train = is_train
+        self.min_size_train = list(min_size_train)
+        self.max_size_train = max_size_train
+        self.min_size_test = min_size_test
+        self.max_size_test = max_size_test
+        self.crop_enabled = crop_enabled
+        self.crop_size = tuple(crop_size)
+        self.single_category_max_area = single_category_max_area
+        self.color_aug_ssd = color_aug_ssd
+        self.size_divisibility = size_divisibility
+        self.ignore_label = ignore_label
+        self.max_gt = max_gt
+        self.rng = np.random.default_rng(seed)
+
+    @classmethod
+    def from_config(cls, cfg, is_train: bool = True, seed: int = 0):
+        return cls(
+            is_train=is_train,
+            min_size_train=cfg.INPUT.MIN_SIZE_TRAIN,
+            max_size_train=cfg.INPUT.MAX_SIZE_TRAIN,
+            min_size_test=cfg.INPUT.MIN_SIZE_TEST,
+            max_size_test=cfg.INPUT.MAX_SIZE_TEST,
+            crop_enabled=cfg.INPUT.CROP.ENABLED,
+            crop_size=cfg.INPUT.CROP.SIZE,
+            single_category_max_area=cfg.INPUT.CROP.SINGLE_CATEGORY_MAX_AREA,
+            color_aug_ssd=cfg.INPUT.COLOR_AUG_SSD,
+            size_divisibility=cfg.INPUT.SIZE_DIVISIBILITY,
+            ignore_label=cfg.MODEL.SEM_SEG_HEAD.IGNORE_VALUE,
+            max_gt=cfg.TPU.MAX_GT_INSTANCES,
+            seed=seed,
+        )
+
+    def __call__(self, dataset_dict: Dict) -> Dict:
+        img = read_image(dataset_dict["file_name"])
+        sem_seg = read_sem_seg(dataset_dict["sem_seg_file_name"])
+        orig_h, orig_w = img.shape[:2]
+
+        if self.is_train:
+            short = int(self.rng.choice(self.min_size_train))
+            img, sem_seg = T.resize_shortest_edge(
+                img, sem_seg, short, self.max_size_train
+            )
+            if self.crop_enabled:
+                img, sem_seg = T.random_crop_with_category_constraint(
+                    self.rng, img, sem_seg, self.crop_size,
+                    self.single_category_max_area, self.ignore_label,
+                )
+            if self.color_aug_ssd:
+                img = T.color_aug_ssd(self.rng, img)
+            img, sem_seg = T.hflip(self.rng, img, sem_seg)
+            if self.size_divisibility > 0:
+                # pad to the fixed crop size for static shapes, then to
+                # divisibility (reference pads to size_divisibility only)
+                img, sem_seg = T.pad_to_size(
+                    img, sem_seg,
+                    (max(self.crop_size[0], self.size_divisibility),
+                     max(self.crop_size[1], self.size_divisibility)),
+                    128, self.ignore_label,
+                )
+        else:
+            img, sem_seg = T.resize_shortest_edge(
+                img, sem_seg, self.min_size_test, self.max_size_test
+            )
+
+        image_hw = img.shape[:2]
+
+        out = {
+            "image": img.astype(np.float32),
+            "height": dataset_dict.get("height", orig_h),
+            "width": dataset_dict.get("width", orig_w),
+            "image_hw": image_hw,
+            "file_name": dataset_dict["file_name"],
+        }
+
+        if not self.is_train:
+            out["sem_seg"] = sem_seg
+            return out
+
+        # per-class binary masks, padded to max_gt (reference :166-185)
+        classes = np.unique(sem_seg)
+        classes = classes[classes != self.ignore_label]
+        t = self.max_gt
+        labels = np.zeros((t,), np.int32)
+        masks = np.zeros((t,) + image_hw, np.float32)
+        valid = np.zeros((t,), bool)
+        for i, c in enumerate(classes[:t]):
+            labels[i] = c
+            masks[i] = (sem_seg == c).astype(np.float32)
+            valid[i] = True
+        out.update({"labels": labels, "masks": masks, "valid": valid})
+        return out

@@ -1,0 +1,236 @@
+"""Trainer: config -> model/optimizer/loaders -> jitted train loop with
+checkpointing, eval, NaN watchdog and metric logging.
+
+Rebuild of the reference Trainer/DefaultTrainer usage (train_net.py:102-430)
+on the TPU stack: one process per *host* (jax.distributed), one jitted step
+over the data mesh, orbax auto-resume."""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CfgNode
+from ..data import (
+    DatasetCatalog,
+    MetadataCatalog,
+    MaskFormerSemanticDatasetMapper,
+    TrainLoader,
+    eval_loader,
+    register_all_builtin,
+)
+from ..evaluation.sem_seg_evaluation import SemSegEvaluator
+from ..losses import set_criterion  # noqa: F401  (re-exported for users)
+from ..models import maskformer_from_config, upsample_masks
+from ..models.inference import semantic_inference, sem_seg_postprocess
+from ..parallel import TrainState, make_mesh, make_train_step, replicate, shard_batch
+from .checkpoint import Checkpointer
+from .hooks import MetricLogger, device_memory_stats, nan_check
+from .optimizer import build_optimizer
+
+
+class Trainer:
+    def __init__(self, cfg: CfgNode):
+        self.cfg = cfg
+        register_all_builtin()
+
+        self.process_index = jax.process_index()
+        self.process_count = jax.process_count()
+        self.is_main = self.process_index == 0
+
+        self.model = maskformer_from_config(cfg)
+        self.mesh = make_mesh()
+
+        # init params on a dummy crop-shaped batch
+        crop = self._train_crop_hw()
+        dummy = jnp.zeros((1, crop[0], crop[1], 3), jnp.float32)
+        variables = jax.jit(
+            lambda: self.model.init(jax.random.PRNGKey(cfg.SEED), dummy, train=False)
+        )()
+        self.tx = build_optimizer(cfg, variables["params"])
+        self.state = TrainState.create(
+            variables["params"], variables["batch_stats"], self.tx
+        )
+
+        self.step_fn = make_train_step(
+            self.model,
+            cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
+            eos_coef=cfg.MODEL.MASK_FORMER.NO_OBJECT_WEIGHT,
+            class_weight=cfg.MODEL.MASK_FORMER.CLASS_WEIGHT,
+            mask_weight=cfg.MODEL.MASK_FORMER.MASK_WEIGHT,
+            dice_weight=cfg.MODEL.MASK_FORMER.DICE_WEIGHT,
+            num_points=cfg.MODEL.MASK_FORMER.TRAIN_NUM_POINTS,
+            oversample_ratio=cfg.MODEL.MASK_FORMER.OVERSAMPLE_RATIO,
+            importance_sample_ratio=cfg.MODEL.MASK_FORMER.IMPORTANCE_SAMPLE_RATIO,
+        )
+
+        self.checkpointer = Checkpointer(os.path.join(cfg.OUTPUT_DIR, "checkpoints"))
+        self.logger = MetricLogger(cfg.OUTPUT_DIR if self.is_main else None)
+        self.start_step = 0
+
+    def _train_crop_hw(self):
+        if self.cfg.INPUT.CROP.ENABLED:
+            size = self.cfg.INPUT.CROP.SIZE
+            div = max(self.cfg.INPUT.SIZE_DIVISIBILITY, 1)
+            return (max(size[0], div), max(size[1], div))
+        return (self.cfg.INPUT.MIN_SIZE_TEST, self.cfg.INPUT.MIN_SIZE_TEST)
+
+    # -------------------------------------------------------------- resume
+    def resume_or_load(self, resume: bool = True) -> None:
+        ckpt_state = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+        if resume and self.checkpointer.latest_step() is not None:
+            restored = self.checkpointer.restore(ckpt_state)
+            self.state = self.state.replace(
+                params=restored["params"],
+                batch_stats=restored["batch_stats"],
+                opt_state=restored["opt_state"],
+                step=restored["step"],
+            )
+            self.start_step = int(restored["step"])
+            if self.is_main:
+                print(f"resumed from step {self.start_step}")
+        elif self.cfg.MODEL.WEIGHTS:
+            from .convert_checkpoint import load_reference_weights
+
+            params = load_reference_weights(self.cfg.MODEL.WEIGHTS, self.state.params)
+            if params is not None:
+                self.state = self.state.replace(params=params)
+
+    # --------------------------------------------------------------- train
+    def build_train_loader(self) -> TrainLoader:
+        cfg = self.cfg
+        dataset = []
+        for name in cfg.DATASETS.TRAIN:
+            dataset += DatasetCatalog.get(name)
+        mapper = MaskFormerSemanticDatasetMapper.from_config(
+            cfg, is_train=True, seed=cfg.SEED + self.process_index
+        )
+        return TrainLoader(
+            dataset,
+            mapper,
+            cfg.SOLVER.IMS_PER_BATCH,
+            seed=cfg.SEED,
+            num_workers=cfg.DATALOADER.NUM_WORKERS,
+            process_index=self.process_index,
+            process_count=self.process_count,
+        )
+
+    def train(self) -> None:
+        cfg = self.cfg
+        loader = self.build_train_loader()
+        state = replicate(self.mesh, self.state)
+        key = jax.random.PRNGKey(cfg.SEED + 1)
+
+        max_iter = cfg.SOLVER.MAX_ITER
+        ckpt_period = cfg.SOLVER.CHECKPOINT_PERIOD
+        eval_period = cfg.TEST.EVAL_PERIOD
+
+        for step in range(self.start_step, max_iter):
+            batch_np = next(loader)
+            batch = shard_batch(
+                self.mesh,
+                {
+                    "image": batch_np["image"],
+                    "labels": batch_np["labels"],
+                    "masks": batch_np["masks"],
+                    "valid": batch_np["valid"],
+                },
+            )
+            key, sub = jax.random.split(key)
+            state, metrics = self.step_fn(state, batch, sub)
+
+            if self.is_main:
+                metrics = dict(metrics)
+                metrics.update(device_memory_stats())
+                self.logger.log(step + 1, metrics)
+
+            if not np.isfinite(float(metrics["total_loss"])):
+                nan_check(state.params, "params")
+                raise FloatingPointError(f"non-finite loss at step {step + 1}")
+
+            if (step + 1) % ckpt_period == 0 or (step + 1) == max_iter:
+                self.checkpointer.save(
+                    step + 1,
+                    {
+                        "params": state.params,
+                        "batch_stats": state.batch_stats,
+                        "opt_state": state.opt_state,
+                        "step": state.step,
+                    },
+                )
+            if eval_period and (step + 1) % eval_period == 0:
+                self.state = state
+                self.test()
+
+        self.state = state
+        self.checkpointer.wait()
+        loader.close()
+
+    # ---------------------------------------------------------------- eval
+    def test(self) -> Dict[str, Dict[str, float]]:
+        cfg = self.cfg
+        results = {}
+        for name in cfg.DATASETS.TEST:
+            results[name] = self._eval_sem_seg(name)
+            if self.is_main:
+                print(f"[eval {name}] " + ", ".join(
+                    f"{k}={v:.2f}" for k, v in results[name].items()
+                    if not k.startswith("IoU-")
+                ))
+        return results
+
+    def _eval_sem_seg(self, dataset_name: str) -> Dict[str, float]:
+        cfg = self.cfg
+        meta = MetadataCatalog.get(dataset_name)
+        nc = cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES
+        evaluator = SemSegEvaluator(
+            nc,
+            ignore_label=meta.get("ignore_label", 255),
+            class_names=meta.get("stuff_classes"),
+        )
+        mapper = MaskFormerSemanticDatasetMapper.from_config(cfg, is_train=False)
+        dataset = DatasetCatalog.get(dataset_name)
+
+        div = cfg.MODEL.MASK_FORMER.SIZE_DIVISIBILITY
+        variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+
+        @jax.jit
+        def predict(variables, image):
+            out = self.model.apply(variables, image[None], train=False)
+            h, w = image.shape[:2]
+            masks = upsample_masks(out["pred_masks"], (h, w))[0]
+            return out["pred_logits"][0], masks
+
+        for sample in eval_loader(
+            dataset, mapper,
+            process_index=self.process_index, process_count=self.process_count,
+        ):
+            img = sample["image"]
+            h, w = img.shape[:2]
+            ph = -(-h // div) * div
+            pw = -(-w // div) * div
+            img_p = np.pad(img, ((0, ph - h), (0, pw - w), (0, 0)))
+            logits, masks = predict(variables, jnp.asarray(img_p))
+            sem = semantic_inference(logits, masks)
+            sem = sem_seg_postprocess(sem, (h, w), (sample["height"], sample["width"]))
+            pred = np.asarray(jnp.argmax(sem, axis=0))
+            gt = sample["sem_seg"]
+            if gt.shape != pred.shape:
+                import cv2
+
+                gt = cv2.resize(
+                    gt.astype(np.int32), (pred.shape[1], pred.shape[0]),
+                    interpolation=cv2.INTER_NEAREST,
+                )
+            evaluator.process(pred, gt, sample.get("file_name", ""))
+        return evaluator.evaluate()

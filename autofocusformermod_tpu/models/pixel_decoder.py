@@ -251,10 +251,9 @@ class MSDeformAttnPixelDecoder(nn.Module):
             x = features[f].astype(jnp.float32)
             pos = features[f + "_pos"].astype(jnp.float32)
             ss = features[f + "_spatial_shape"]
-            proj = nn.Sequential(
-                [nn.Dense(self.conv_dim), nn.LayerNorm()], name=f"input_proj_{idx}"
-            )
-            srcs.append(proj(x))
+            xp = nn.Dense(self.conv_dim, name=f"input_proj_{idx}_dense")(x)
+            xp = nn.LayerNorm(name=f"input_proj_{idx}_norm")(xp)
+            srcs.append(xp)
             poss.append(pos)
             pos_embed.append(position_embedding_sine(pos, self.conv_dim // 2))
             spatial_shapes.append(ss)
@@ -296,10 +295,8 @@ class MSDeformAttnPixelDecoder(nn.Module):
             x = features[f].astype(jnp.float32)
             pos = features[f + "_pos"].astype(jnp.float32)
             ss = features[f + "_spatial_shape"]
-            lateral = nn.Sequential(
-                [nn.Dense(self.conv_dim), nn.LayerNorm()], name=f"adapter_{idx + 1}"
-            )
-            cur_fpn = lateral(x)
+            cur_fpn = nn.Dense(self.conv_dim, name=f"adapter_{idx + 1}_dense")(x)
+            cur_fpn = nn.LayerNorm(name=f"adapter_{idx + 1}_norm")(cur_fpn)
             last_pos = scale_pos(last_pos, last_ss, ss, no_bias=True)
             y = cur_fpn + upsample_feature_shepard(pos, last_pos, out[-1])
             y = PointConv(self.conv_dim, name=f"layer_{idx + 1}_pointconv")(y, pos)

@@ -39,19 +39,26 @@ def main():
     variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x[:1], train=False))()
 
     @jax.jit
-    def infer(variables, x):
-        out = model.apply(variables, x, train=False)
+    def infer(variables, x, salt):
+        # `salt` chains iterations into a data-dependent sequence so async
+        # runtimes (axon tunnel: block_until_ready does not block) cannot
+        # overlap or elide steps; sync is a single end-of-loop scalar fetch.
+        out = model.apply(variables, x + salt, train=False)
         masks = upsample_masks(out["pred_masks"], (512, 512))
         sem = jax.vmap(semantic_inference)(out["pred_logits"], masks)
-        return jnp.argmax(sem, axis=1).astype(jnp.int32)
+        pred = jnp.argmax(sem, axis=1).astype(jnp.int32)
+        return pred, jnp.mean(sem) * 1e-6
 
-    # warmup / compile
-    for _ in range(warmup):
-        infer(variables, x).block_until_ready()
+    def run(n):
+        salt = jnp.zeros((), jnp.float32)
+        pred = None
+        for _ in range(n):
+            pred, salt = infer(variables, x, salt)
+        return float(salt), pred  # scalar fetch forces full completion
 
+    run(warmup)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        infer(variables, x).block_until_ready()
+    run(iters)
     dt = time.perf_counter() - t0
 
     ips = batch * iters / dt

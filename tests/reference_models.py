@@ -1,0 +1,224 @@
+"""Instantiate the reference torch modules on CPU (stubbing detectron2 / timm /
+fvcore / the CUDA extension) to obtain their true state-dict names and shapes.
+Used as a golden oracle for the checkpoint converter — no reference code is
+copied into the framework."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+
+REF_ROOT = "/root/reference"
+
+
+def _install_stubs():
+    import torch
+    import torch.nn as nn
+
+    # ---- detectron2 ----
+    d2 = types.ModuleType("detectron2")
+
+    class Registry:
+        def __init__(self, name=""):
+            self._map = {}
+
+        def register(self, obj=None):
+            if obj is None:
+                return lambda o: self.register(o)
+            self._map[obj.__name__] = obj
+            return obj
+
+        def get(self, name):
+            return self._map[name]
+
+    def configurable(init_func=None, *, from_config=None):
+        # identity: callers in tests construct modules with explicit kwargs
+        if init_func is not None:
+            return init_func
+        return lambda f: f
+
+    class ShapeSpec:
+        def __init__(self, channels=None, stride=None, height=None, width=None):
+            self.channels = channels
+            self.stride = stride
+            self.height = height
+            self.width = width
+
+    class Backbone(nn.Module):
+        def output_shape(self):
+            return {}
+
+        @property
+        def size_divisibility(self):
+            return 0
+
+    mod_config = types.ModuleType("detectron2.config")
+    mod_config.configurable = configurable
+
+    class CfgNode(dict):
+        pass
+
+    mod_config.CfgNode = CfgNode
+
+    mod_layers = types.ModuleType("detectron2.layers")
+    mod_layers.ShapeSpec = ShapeSpec
+    mod_layers.Conv2d = nn.Conv2d
+
+    def get_norm(norm, out_channels):
+        return nn.GroupNorm(32, out_channels)
+
+    mod_layers.get_norm = get_norm
+
+    mod_modeling = types.ModuleType("detectron2.modeling")
+    mod_modeling.BACKBONE_REGISTRY = Registry("backbone")
+    mod_modeling.SEM_SEG_HEADS_REGISTRY = Registry("sem_seg_heads")
+    mod_modeling.META_ARCH_REGISTRY = Registry("meta_arch")
+    mod_modeling.Backbone = Backbone
+    mod_modeling.ShapeSpec = ShapeSpec
+    mod_modeling.build_backbone = lambda cfg: None
+    mod_modeling.build_sem_seg_head = lambda cfg, shp: None
+
+    mod_utils = types.ModuleType("detectron2.utils")
+    mod_registry = types.ModuleType("detectron2.utils.registry")
+    mod_registry.Registry = Registry
+    mod_utils.registry = mod_registry
+
+    d2.config = mod_config
+    d2.layers = mod_layers
+    d2.modeling = mod_modeling
+    d2.utils = mod_utils
+    sys.modules.setdefault("detectron2", d2)
+    sys.modules.setdefault("detectron2.config", mod_config)
+    sys.modules.setdefault("detectron2.layers", mod_layers)
+    sys.modules.setdefault("detectron2.modeling", mod_modeling)
+    sys.modules.setdefault("detectron2.utils", mod_utils)
+    sys.modules.setdefault("detectron2.utils.registry", mod_registry)
+
+    # ---- timm ----
+    timm = types.ModuleType("timm")
+    timm_models = types.ModuleType("timm.models")
+    timm_layers = types.ModuleType("timm.models.layers")
+
+    class DropPath(nn.Module):
+        def __init__(self, p=0.0):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    def trunc_normal_(t, std=1.0):
+        with torch.no_grad():
+            t.normal_(0, std)
+        return t
+
+    timm_layers.DropPath = DropPath
+    timm_layers.trunc_normal_ = trunc_normal_
+    timm.models = timm_models
+    timm_models.layers = timm_layers
+    sys.modules.setdefault("timm", timm)
+    sys.modules.setdefault("timm.models", timm_models)
+    sys.modules.setdefault("timm.models.layers", timm_layers)
+
+    # ---- fvcore ----
+    fv = types.ModuleType("fvcore")
+    fv_nn = types.ModuleType("fvcore.nn")
+    fv_wi = types.ModuleType("fvcore.nn.weight_init")
+    fv_wi.c2_xavier_fill = lambda m: None
+    fv_wi.c2_msra_fill = lambda m: None
+    fv_nn.weight_init = fv_wi
+    fv.nn = fv_nn
+    sys.modules.setdefault("fvcore", fv)
+    sys.modules.setdefault("fvcore.nn", fv_nn)
+    sys.modules.setdefault("fvcore.nn.weight_init", fv_wi)
+
+    # ---- the CUDA extension package ----
+    clusten = types.ModuleType("refmask.modeling.clusten")
+
+    class _F:
+        @staticmethod
+        def apply(*a, **k):
+            raise RuntimeError("CUDA kernels unavailable in CPU oracle")
+
+    for name in [
+        "CLUSTENQKFunction",
+        "CLUSTENAVFunction",
+        "CLUSTENWFFunction",
+        "WEIGHTEDGATHERFunction",
+        "MSDETRPCFunction",
+    ]:
+        setattr(clusten, name, _F)
+    return clusten
+
+
+def _load(relpath, modname, package, clusten_mod=None):
+    spec = importlib.util.spec_from_file_location(
+        modname, f"{REF_ROOT}/{relpath}", submodule_search_locations=[]
+    )
+    mod = importlib.util.module_from_spec(spec)
+    mod.__package__ = package
+    sys.modules[modname] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def load_reference_modules():
+    """Returns dict with the reference aff / pixel-decoder / decoder modules."""
+    clusten = _install_stubs()
+
+    pkg_names = [
+        "refmask",
+        "refmask.modeling",
+        "refmask.modeling.backbone",
+        "refmask.modeling.pixel_decoder",
+        "refmask.modeling.transformer_decoder",
+    ]
+    for name in pkg_names:
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            m.__path__ = []
+            sys.modules[name] = m
+    sys.modules["refmask.modeling.clusten"] = clusten
+
+    pu = _load(
+        "mask2former/modeling/backbone/point_utils.py",
+        "refmask.modeling.backbone.point_utils",
+        "refmask.modeling.backbone",
+    )
+    aff = _load(
+        "mask2former/modeling/backbone/aff.py",
+        "refmask.modeling.backbone.aff",
+        "refmask.modeling.backbone",
+    )
+    pe = _load(
+        "mask2former/modeling/transformer_decoder/position_encoding.py",
+        "refmask.modeling.transformer_decoder.position_encoding",
+        "refmask.modeling.transformer_decoder",
+    )
+    tr = _load(
+        "mask2former/modeling/transformer_decoder/transformer.py",
+        "refmask.modeling.transformer_decoder.transformer",
+        "refmask.modeling.transformer_decoder",
+    )
+    build = types.ModuleType("refmask.modeling.transformer_decoder.build")
+
+    class _Reg:
+        def register(self, obj=None):
+            if obj is None:
+                return lambda o: o
+            return obj
+
+    build.TRANSFORMER_DECODER_REGISTRY = _Reg()
+    sys.modules["refmask.modeling.transformer_decoder.build"] = build
+
+    dec = _load(
+        "mask2former/modeling/transformer_decoder/mask2former_transformer_decoder.py",
+        "refmask.modeling.transformer_decoder.mask2former_transformer_decoder",
+        "refmask.modeling.transformer_decoder",
+    )
+    pixdec = _load(
+        "mask2former/modeling/pixel_decoder/msdeformattn_pc.py",
+        "refmask.modeling.pixel_decoder.msdeformattn_pc",
+        "refmask.modeling.pixel_decoder",
+    )
+    return {"aff": aff, "decoder": dec, "pixel_decoder": pixdec, "point_utils": pu}
