@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 # max elements in one (chunk x n_db) distance tile, per batch element
-_TILE_BUDGET = 1 << 22
+_TILE_BUDGET = 1 << 25  # 32M elems (128 MB f32 tile) - few chunks, deep pipelines
 
 
 def _chunk_size(n_query: int, n_db: int) -> int:

@@ -25,6 +25,7 @@ import numpy as np
 import flax.linen as nn
 
 from ..geometry.knn import knn
+from ..geometry.gridnn import grid_neighbors9
 from ..geometry.shepard import shepard_decay_weights, upsample_feature_shepard
 from ..ops.clusten import cluster_wf, msdetrpc
 from .layers import WeightNet, position_embedding_sine, rel_pos_features
@@ -53,9 +54,13 @@ class PointConv(nn.Module):
     inner_ch: int = 4
 
     @nn.compact
-    def __call__(self, x, pos):
+    def __call__(self, x, pos, spatial_shape=None):
         b, n, c = x.shape
-        nn_idx = knn(pos, pos, min(9, n))
+        if spatial_shape is not None and n == spatial_shape[0] * spatial_shape[1]:
+            # full-grid token set: 3x3 neighborhoods are analytic (gridnn.py)
+            nn_idx = grid_neighbors9(pos, spatial_shape[0], spatial_shape[1])
+        else:
+            nn_idx = knn(pos, pos, min(9, n))
         kk = nn_idx.shape[-1]
         nn_pos = jnp.take_along_axis(pos, nn_idx.reshape(b, -1, 1), axis=1).reshape(b, n, kk, 2)
         rel = pos[:, :, None, :] - nn_pos
@@ -299,7 +304,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
             cur_fpn = nn.LayerNorm(name=f"adapter_{idx + 1}_norm")(cur_fpn)
             last_pos = scale_pos(last_pos, last_ss, ss, no_bias=True)
             y = cur_fpn + upsample_feature_shepard(pos, last_pos, out[-1])
-            y = PointConv(self.conv_dim, name=f"layer_{idx + 1}_pointconv")(y, pos)
+            y = PointConv(self.conv_dim, name=f"layer_{idx + 1}_pointconv")(y, pos, ss)
             y = nn.LayerNorm(name=f"layer_{idx + 1}_norm")(y)
             y = nn.relu(y)
             last_pos, last_ss = pos, ss

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..geometry.rasterize import point2img
+from ..geometry.gridnn import grid_shepard_upsample, point2img_lut, pos_index_lut
 from ..geometry.shepard import upsample_feature_shepard
 from .layers import MLP, position_embedding_sine
 
@@ -165,16 +166,23 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
         self.class_embed = nn.Dense(self.num_classes + 1)
         self.mask_embed = MLP(self.hidden_dim, self.mask_dim, 3)
 
-    def _prediction_heads(self, output, mask_features, mf_pos, target_pos):
+    def _prediction_heads(self, output, mask_features, mf_pos, target_pos,
+                          mask_size=None, mf_lut=None):
         """(reference :468-488). output: (b, q, c)."""
         dec = self.decoder_norm(output)
         outputs_class = self.class_embed(dec)                       # (b, q, nc+1)
         mask_embed = self.mask_embed(dec)                           # (b, q, cm)
         outputs_mask = jnp.einsum("bqc,bnc->bqn", mask_embed, mask_features)
         # upsample mask logits to the next level's positions -> attention mask
-        am = upsample_feature_shepard(
-            target_pos, mf_pos, outputs_mask.transpose(0, 2, 1)
-        ).transpose(0, 2, 1)                                        # (b, q, n_lvl)
+        if mf_lut is not None:
+            am = grid_shepard_upsample(
+                target_pos, mf_pos, outputs_mask.transpose(0, 2, 1),
+                mask_size[0], mask_size[1], lut=mf_lut,
+            ).transpose(0, 2, 1)
+        else:
+            am = upsample_feature_shepard(
+                target_pos, mf_pos, outputs_mask.transpose(0, 2, 1)
+            ).transpose(0, 2, 1)                                    # (b, q, n_lvl)
         am = jax.lax.stop_gradient(jax.nn.sigmoid(am) < 0.5)        # True = blocked
         attn_mask = jnp.broadcast_to(
             am[:, None], (am.shape[0], self.nheads, am.shape[1], am.shape[2])
@@ -199,12 +207,24 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
             self.query_feat.embedding[None], (b, self.num_queries, self.hidden_dim)
         )
 
+        # mask features cover the full canvas for AFF: analytic grid
+        # neighbors + a LUT built once replace per-round brute-force KNN
+        mf_lut = (
+            pos_index_lut(mf_pos, mask_size[0], mask_size[1])
+            if mf_pos.shape[1] == mask_size[0] * mask_size[1]
+            else None
+        )
         predictions_class, predictions_mask = [], []
         outputs_class, outputs_mask, attn_mask = self._prediction_heads(
-            output, mask_features, mf_pos, pos[0]
+            output, mask_features, mf_pos, pos[0], mask_size, mf_lut
         )
+        def rasterize(m):
+            if mf_lut is not None:
+                return point2img_lut(m, mf_pos, mask_size, lut=mf_lut)
+            return point2img(m, mf_pos, mask_size)
+
         predictions_class.append(outputs_class)
-        predictions_mask.append(point2img(outputs_mask, mf_pos, mask_size))
+        predictions_mask.append(rasterize(outputs_mask))
 
         for i in range(self.dec_layers):
             level_index = i % self.num_feature_levels
@@ -220,10 +240,11 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
             output = self.ffn_layers[i](output, deterministic)
 
             outputs_class, outputs_mask, attn_mask = self._prediction_heads(
-                output, mask_features, mf_pos, pos[(i + 1) % self.num_feature_levels]
+                output, mask_features, mf_pos,
+                pos[(i + 1) % self.num_feature_levels], mask_size, mf_lut,
             )
             predictions_class.append(outputs_class)
-            predictions_mask.append(point2img(outputs_mask, mf_pos, mask_size))
+            predictions_mask.append(rasterize(outputs_mask))
 
         return {
             "pred_logits": predictions_class[-1],

@@ -211,3 +211,38 @@ def test_find_pos_indices_in_pos():
     some = all_pos[:, [3, 7, 11]]
     idx = find_pos_indices_in_pos(all_pos, some)
     np.testing.assert_array_equal(np.asarray(idx)[0, :, 0], [3, 7, 11])
+
+
+# ----------------------------------------------------- grid-analytic NN
+def test_grid_shepard_matches_exact_knn():
+    from autofocusformermod_tpu.geometry.gridnn import grid_shepard_upsample
+
+    rng = np.random.default_rng(7)
+    h = w = 8
+    perm = rng.permutation(h * w)
+    db = jnp.asarray(_grid_pos(2, h, w)[:, perm])           # permuted full grid
+    feat = jnp.asarray(rng.standard_normal((2, h * w, 5)).astype(np.float32))
+    # arbitrary queries incl. borders and outside the canvas: window top-k
+    # neighbors are exact
+    q = jnp.asarray(rng.uniform(-1.0, 8.0, (2, 60, 2)).astype(np.float32))
+    exact = upsample_feature_shepard(q, db, feat, k=4)
+    analytic = grid_shepard_upsample(q, db, feat, h, w)
+    np.testing.assert_allclose(np.asarray(analytic), np.asarray(exact),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_grid_neighbors9_interior_matches_knn():
+    from autofocusformermod_tpu.geometry.gridnn import grid_neighbors9
+
+    rng = np.random.default_rng(8)
+    h = w = 6
+    perm = rng.permutation(h * w)
+    pos = jnp.asarray(_grid_pos(1, h, w)[:, perm])
+    nine = np.asarray(grid_neighbors9(pos, h, w))
+    exact = np.asarray(knn(pos, pos, 9))
+    p = np.asarray(pos[0]).astype(int)
+    for i in range(h * w):
+        # neighbor multisets must have identical distance multisets everywhere
+        d_nine = sorted(((p[nine[0, i]] - p[i]) ** 2).sum(1).tolist())
+        d_exact = sorted(((p[exact[0, i]] - p[i]) ** 2).sum(1).tolist())
+        assert d_nine == d_exact, (i, d_nine, d_exact)
