@@ -33,13 +33,53 @@ import flax.linen as nn
 from ..geometry.cluster import space_filling_cluster
 from ..geometry.knn import knn
 from ..ops.clusten import cluster_av, cluster_qk, cluster_wf
-from ..ops.dispatch import local_cluster_attention
+from ..ops.dispatch import fused_attention_available
 from .layers import DropPath, Mlp, rel_pos_features
 
 
 def _gather_by_idx(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """x: (b, n, c); idx: (b, n_) -> (b, n_, c)."""
     return jnp.take_along_axis(x, idx[..., None], axis=1)
+
+
+def _nbhd_from_clusters(pos, nc, span: int, n: int):
+    """Reconstruct fixed-width neighborhoods from neighbor-cluster ids.
+
+    Tokens are sorted so cluster c occupies rows [c*span, (c+1)*span); the
+    reference materializes the same spans by gathering an arange table
+    (aff.py:478-481).  Entries >= n are padding (cluster_mask = 0).
+    pos: (b, n, 2); nc: (b, nq, nnc) -> (member_idx (b, nq, nnc*span) int32,
+    cluster_mask (b, nq, nnc*span) f32 or None, rel_feat5 (b, nq, nnc*span, 5)).
+    """
+    b, nq, nnc = nc.shape
+    member = (
+        nc[..., None] * span + jnp.arange(span, dtype=jnp.int32)
+    ).reshape(b, nq, nnc * span)
+    valid = member < n
+    member = jnp.where(valid, member, 0)
+    cluster_mask = None if (n % span == 0) else valid.astype(jnp.float32)
+    pos_nb = jnp.take_along_axis(pos, member.reshape(b, -1, 1), axis=1).reshape(
+        b, nq, nnc * span, 2
+    )
+    rel_feat5 = rel_pos_features(pos_nb - pos[:, :nq, None, :])
+    return member, cluster_mask, rel_feat5
+
+
+def _nbhd_from_clusters_at(pos, query_pos, nc, span: int, n: int):
+    """Same as _nbhd_from_clusters but with neighborhoods centered at
+    arbitrary query positions (the kept tokens after downsampling)."""
+    b, nq, nnc = nc.shape
+    member = (
+        nc[..., None] * span + jnp.arange(span, dtype=jnp.int32)
+    ).reshape(b, nq, nnc * span)
+    valid = member < n
+    member = jnp.where(valid, member, 0)
+    cluster_mask = None if (n % span == 0) else valid.astype(jnp.float32)
+    pos_nb = jnp.take_along_axis(pos, member.reshape(b, -1, 1), axis=1).reshape(
+        b, nq, nnc * span, 2
+    )
+    rel_feat5 = rel_pos_features(pos_nb - query_pos[:, :, None, :])
+    return member, cluster_mask, rel_feat5
 
 
 class ClusterAttention(nn.Module):
@@ -53,13 +93,12 @@ class ClusterAttention(nn.Module):
     use_pallas: bool = True
 
     @nn.compact
-    def __call__(self, feat, member_idx, cluster_mask, rel_feat5, global_attn,
-                 deterministic: bool = True):
+    def __call__(self, feat, ctx, global_attn, deterministic: bool = True):
         """
-        feat        - (b, n, c)
-        member_idx  - (b, n, m) neighbor token indices (None if global)
-        cluster_mask- (b, n, m) 1=valid (or None)
-        rel_feat5   - (b, n, m, 5) rel-pos features (global: (b, n, n, 5))
+        feat - (b, n, c); ctx - neighborhood context dict:
+          fused path : {'fused': True, 'pos', 'nc', 'cluster_size'}
+          gather path: {'fused': False, 'member_idx', 'cluster_mask',
+                        'rel_feat5'}
         global_attn - static bool
         """
         b, n, c = feat.shape
@@ -72,30 +111,38 @@ class ClusterAttention(nn.Module):
 
         blank_k = self.param("blank_k", nn.initializers.normal(1.0), (self.dim,))
         blank_v = self.param("blank_v", nn.initializers.normal(1.0), (self.dim,))
-
-        # learned rel-pos bias: Linear(5 -> heads) applied to the features
-        # (replaces the reference's full-table forward + gather, aff.py:126-132)
-        pos_bias = nn.Dense(h, name="pos_embed")(rel_feat5)  # (b, n, m, h)
+        pos_embed = nn.Dense(h, name="pos_embed")
 
         q = q.reshape(b, n, h, c_).transpose(0, 2, 1, 3)      # (b, h, n, c_)
         kv = kv.reshape(b, n, 2, h, c_).transpose(2, 0, 3, 1, 4)
         key, v = kv[0], kv[1]                                  # (b, h, n, c_)
 
-        blank_attn = jnp.einsum(
-            "bhnc,hc->bhn", q, blank_k.reshape(h, c_)
-        )[..., None]  # (b, h, n, 1)
+        if not global_attn and ctx.get("fused", False):
+            from ..ops.pallas.local_attn import sfc_cluster_attention
 
-        if not global_attn and self.use_pallas and self.attn_drop == 0.0:
-            # fused gather-QK -> bias/mask -> blank-augmented softmax -> AV
-            mask = None if cluster_mask is None else cluster_mask
-            feat_out, blank_prob = local_cluster_attention(
-                q, key, v, member_idx, pos_bias, mask, blank_attn
+            # recover the Dense(5 -> h) weights through two tiny probes so the
+            # parameter tree stays identical to the gather path
+            b5 = pos_embed(jnp.zeros((1, 5)))[0]               # (h,)
+            w5 = (pos_embed(jnp.eye(5)) - b5[None, :]).T       # (h, 5)
+            feat_out, blank_prob = sfc_cluster_attention(
+                q, key, v, ctx["pos"], ctx["nc"], w5, b5,
+                blank_k.reshape(h, c_), ctx["cluster_size"],
             )
             feat = feat_out.transpose(0, 2, 1, 3).reshape(b, n, c)
             feat = feat + (blank_prob * blank_v.reshape(1, h, 1, c_)).transpose(
                 0, 2, 1, 3
             ).reshape(b, n, c)
         else:
+            # learned rel-pos bias: Linear(5 -> heads) applied to the features
+            # (replaces the reference's full-table forward + gather,
+            # aff.py:126-132)
+            pos_bias = pos_embed(ctx["rel_feat5"])             # (b, n, m, h)
+            blank_attn = jnp.einsum(
+                "bhnc,hc->bhn", q, blank_k.reshape(h, c_)
+            )[..., None]  # (b, h, n, 1)
+
+            member_idx = ctx.get("member_idx")
+            cluster_mask = ctx.get("cluster_mask")
             if global_attn:
                 attn = jnp.einsum("bhnc,bhmc->bhnm", q, key)
                 mask = None
@@ -138,14 +185,13 @@ class ClusterTransformerBlock(nn.Module):
     use_pallas: bool = True
 
     @nn.compact
-    def __call__(self, feat, member_idx, cluster_mask, rel_feat5, global_attn,
-                 deterministic: bool = True):
+    def __call__(self, feat, ctx, global_attn, deterministic: bool = True):
         shortcut = feat
         feat = nn.LayerNorm(name="norm1")(feat)
         feat = ClusterAttention(
             self.dim, self.num_heads, self.attn_drop, self.drop,
             use_pallas=self.use_pallas, name="attn",
-        )(feat, member_idx, cluster_mask, rel_feat5, global_attn, deterministic)
+        )(feat, ctx, global_attn, deterministic)
 
         dp = DropPath(self.drop_path)
         if self.layer_scale > 0.0:
@@ -182,11 +228,11 @@ class ClusterMerging(nn.Module):
     inner_ch: int = 4
 
     @nn.compact
-    def __call__(self, pos, feat, member_idx, cluster_mask, learned_prob,
-                 stride, rel_feat5, reserve_num):
+    def __call__(self, pos, feat, nc, learned_prob, stride, reserve_num,
+                 span: int):
         b, n, c = feat.shape
         d = pos.shape[2]
-        m = member_idx.shape[-1]
+        m = nc.shape[-1] * span
         keep_num = int(n * self.ds_rate)
 
         pos_int = pos.astype(jnp.int32)
@@ -228,12 +274,10 @@ class ClusterMerging(nn.Module):
         idx = idx.astype(jnp.int32)  # (b, keep_num)
 
         new_pos = _gather_by_idx(pos, idx)
-        member_idx_k = jnp.take_along_axis(member_idx, idx[..., None], axis=1)
-        rel5_k = jnp.take_along_axis(rel_feat5, idx[..., None, None], axis=1)
-        mask_k = (
-            None
-            if cluster_mask is None
-            else jnp.take_along_axis(cluster_mask, idx[..., None], axis=1)
+        nc_k = jnp.take_along_axis(nc, idx[..., None], axis=1)   # (b, n', nnc)
+        # rebuild the kept tokens' neighborhoods only (4x smaller than full-n)
+        member_idx_k, mask_k, rel5_k = _nbhd_from_clusters_at(
+            pos, new_pos, nc_k, span, n
         )
 
         from .layers import WeightNet
@@ -290,22 +334,20 @@ class BasicLayer(nn.Module):
         if not global_attn:
             k = int(math.ceil(n / float(m)))
             nnc = min(int(round(self.nbhd_size / float(m))), k)
-            nbhd_size = m * nnc
+            span = m if k < n else 1  # k == n: every token is its own cluster
+            nbhd_size = span * nnc
 
         if global_attn:
-            member_idx, cluster_mask = None, None
+            nc = None
             rel = pos[:, None, :, :] - pos[:, :, None, :]  # (b, n, n, 2): pos_j - pos_i
-            rel_feat5 = rel_pos_features(rel)
+            ctx = {"fused": False, "rel_feat5": rel_pos_features(rel)}
+            pos = jnp.asarray(jnp.broadcast_to(pos, (b, n, d)))
         else:
             if k == n:
                 cluster_mean_pos = pos
-                member_idx = jnp.broadcast_to(
-                    jnp.arange(n, dtype=jnp.int32)[None, :, None], (pos.shape[0], n, 1)
-                )
-                cluster_mask = None
             else:
-                pos, cluster_mean_pos, member_idx, cluster_mask, pos_ranking = (
-                    space_filling_cluster(pos, m, h, w, no_reorder=False)
+                pos, cluster_mean_pos, _, _, pos_ranking = space_filling_cluster(
+                    pos, m, h, w, no_reorder=False
                 )
                 # reorder features along the curve; broadcast when the
                 # clustering was computed on a single constant grid
@@ -314,31 +356,30 @@ class BasicLayer(nn.Module):
                     rank = jnp.broadcast_to(rank, (b, n))
                 feat = _gather_by_idx(feat, rank)
 
-            nearest_cluster = knn(pos, cluster_mean_pos, nnc)  # (bp, n, nnc)
-            bp = member_idx.shape[0]
-            member_idx = jnp.take_along_axis(
-                member_idx, nearest_cluster.reshape(bp, -1, 1), axis=1
-            ).reshape(bp, n, nbhd_size)
-            if cluster_mask is not None:
-                cluster_mask = jnp.take_along_axis(
-                    cluster_mask, nearest_cluster.reshape(bp, -1, 1), axis=1
-                ).reshape(bp, n, nbhd_size)
-
-            pos_nbhd = jnp.take_along_axis(
-                pos, member_idx.reshape(bp, -1, 1), axis=1
-            ).reshape(bp, n, nbhd_size, d)
-            rel = pos_nbhd - pos[:, :, None, :]
-            rel_feat5 = rel_pos_features(rel)
-
-            # broadcast trace-time-constant (bp=1 or bp=b-from-constant) pieces
-            if member_idx.shape[0] != b:
-                member_idx = jnp.broadcast_to(member_idx, (b, n, nbhd_size))
-                if cluster_mask is not None:
-                    cluster_mask = jnp.broadcast_to(cluster_mask, (b, n, nbhd_size))
-                rel_feat5 = jnp.broadcast_to(rel_feat5, (b, n, nbhd_size, 5))
+            nc = knn(pos, cluster_mean_pos, nnc)  # (bp, n, nnc) cluster ids
+            if nc.shape[0] != b:
+                nc = jnp.broadcast_to(nc, (b, n, nnc))
                 pos = jnp.broadcast_to(pos, (b, n, d))
+            pos = jnp.asarray(pos)
 
-        pos = jnp.asarray(pos)
+            fused = (
+                self.use_pallas
+                and fused_attention_available()
+                and n % 128 == 0
+                and 128 % span == 0
+            )
+            if fused:
+                ctx = {"fused": True, "pos": pos, "nc": nc, "cluster_size": span}
+            else:
+                member_idx, cluster_mask, rel_feat5 = _nbhd_from_clusters(
+                    pos, nc, span, n
+                )
+                ctx = {
+                    "fused": False,
+                    "member_idx": member_idx,
+                    "cluster_mask": cluster_mask,
+                    "rel_feat5": rel_feat5,
+                }
 
         for i in range(self.depth):
             feat = ClusterTransformerBlock(
@@ -351,7 +392,7 @@ class BasicLayer(nn.Module):
                 layer_scale=self.layer_scale,
                 use_pallas=self.use_pallas,
                 name=f"blocks_{i}",
-            )(feat, member_idx, cluster_mask, rel_feat5, global_attn, deterministic)
+            )(feat, ctx, global_attn, deterministic)
 
         if self.has_downsample:
             learned_prob = jax.nn.sigmoid(nn.Dense(1, name="prob_net")(feat))
@@ -363,7 +404,7 @@ class BasicLayer(nn.Module):
                 ds_rate=self.ds_rate,
                 reserve_on=self.reserve_on,
                 name="downsample",
-            )(pos, feat, member_idx, cluster_mask, learned_prob, stride, rel_feat5, reserve_num)
+            )(pos, feat, nc, learned_prob, stride, reserve_num, span)
             return pos, feat, pos_down, feat_down
         return pos, feat, pos, feat
 

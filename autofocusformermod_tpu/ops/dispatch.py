@@ -1,10 +1,11 @@
 """Kernel dispatch: fused Pallas implementations when available/enabled,
 pure-XLA gather-einsum composition otherwise.
 
-The jnp path is the semantic reference (parity-tested in tests/test_ops.py and
-tests/test_pallas.py); the Pallas path fuses the reference's
-clusten_qk -> +bias -> +mask -> blank-augmented softmax -> clusten_av chain
-(aff.py:102-160) into one VMEM-resident local-attention kernel.
+The XLA path is the semantic reference (parity-tested in tests/test_ops.py and
+tests/test_pallas.py); the Pallas path (ops/pallas/local_attn.py) implements
+the reference's clusten_qk -> +bias -> +mask -> blank-augmented softmax ->
+clusten_av chain (aff.py:102-160) as block-sparse flash attention over
+SFC-ordered tokens.
 """
 
 from __future__ import annotations
@@ -20,7 +21,8 @@ from .clusten import cluster_av, cluster_qk
 _PALLAS_ENV = os.environ.get("AFF_TPU_USE_PALLAS", "1") not in ("0", "false")
 
 
-def _pallas_available() -> bool:
+def fused_attention_available() -> bool:
+    """Whether the fused Pallas local-attention kernel can run here."""
     if not _PALLAS_ENV:
         return False
     try:
@@ -38,7 +40,7 @@ def local_cluster_attention_reference(
     cluster_mask: Optional[jnp.ndarray],
     blank_attn: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Unfused composition (the semantic definition).
+    """Unfused gather composition (the semantic definition).
 
     q/key/v: (b, h, n, c_); member_idx: (b, n, m); pos_bias: (b, n, m, h);
     cluster_mask: (b, n, m) or None; blank_attn: (b, h, n, 1) pre-softmax logit.
@@ -55,27 +57,3 @@ def local_cluster_attention_reference(
     attn = attn[..., :-1]
     feat = cluster_av(attn, v, member_idx)
     return feat, blank_prob
-
-
-def local_cluster_attention(
-    q: jnp.ndarray,
-    key: jnp.ndarray,
-    v: jnp.ndarray,
-    member_idx: jnp.ndarray,
-    pos_bias: jnp.ndarray,
-    cluster_mask: Optional[jnp.ndarray],
-    blank_attn: jnp.ndarray,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused local cluster attention (dispatches to Pallas on TPU)."""
-    if _pallas_available():
-        try:
-            from .pallas.local_attn import local_cluster_attention_pallas
-
-            return local_cluster_attention_pallas(
-                q, key, v, member_idx, pos_bias, cluster_mask, blank_attn
-            )
-        except NotImplementedError:
-            pass
-    return local_cluster_attention_reference(
-        q, key, v, member_idx, pos_bias, cluster_mask, blank_attn
-    )

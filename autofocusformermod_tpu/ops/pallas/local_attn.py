@@ -1,9 +1,260 @@
-"""Fused Pallas local cluster attention (placeholder — round-1 kernel lands
-after the end-to-end slice; the dispatcher falls back to the XLA composition).
+"""Fused block-sparse local cluster attention (Pallas TPU).
+
+The reference chains clusten_qk -> +rel-pos-bias -> +mask -> blank-augmented
+softmax -> clusten_av through per-token neighbor gathers (aff.py:102-160).
+XLA executes those gathers row-by-row (~75 ms per stage-1 block at 512x512 —
+the single hottest op in the model).
+
+TPU-native reformulation: tokens are sorted along a space-filling curve and
+clusters are contiguous 8-token spans, so "key j is in query i's neighborhood"
+is simply ``j // cluster_size in nearest_cluster[i]``.  That turns local
+attention into *block-sparse flash attention*:
+
+  - Q row-blocks of 128 tokens; K/V col-blocks of 128 tokens (16 clusters)
+  - per row-block, only col-blocks intersecting [min, max] of its tokens'
+    neighbor-cluster ids are visited (SFC locality keeps that range small);
+    bounds are precomputed outside the kernel and read from SMEM
+  - inside a tile: dense q @ k^T on the MXU, the neighborhood mask from a
+    (128 x nnc) == (128,) cluster-id compare, the learned rel-pos bias
+    computed on the fly from positions (dx, dy, dist, sin, cos) . w5 — the
+    (b, n, m, 5) rel-feature and (b, n, m, h) bias tensors never exist
+  - online softmax with the learnable blank attention sink folded in at the
+    epilogue (aff.py:139-147)
+
+Non-neighbor keys are excluded exactly (the reference's -100-masked *padding*
+slots simply don't exist in the mask formulation, and exp(-100) ~ 0 is the
+only numerical difference).
+
+Backward runs through the XLA mask-formulation composition via custom_vjp
+(same math; a fused backward kernel is future work).
 """
 
 from __future__ import annotations
 
+import functools
+from typing import Optional, Tuple
 
-def local_cluster_attention_pallas(*args, **kwargs):
-    raise NotImplementedError
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...models.layers import REL_POS_WIDTH
+
+BLOCK_Q = 128
+BLOCK_K = 128
+_NEG = -1e30
+
+
+def _bias_features(rel_x, rel_y):
+    """(dx, dy, dist, sin, cos) on the fly (models/layers.rel_pos_features)."""
+    dx = jnp.clip(rel_x, -REL_POS_WIDTH, REL_POS_WIDTH)
+    dy = jnp.clip(rel_y, -REL_POS_WIDTH, REL_POS_WIDTH)
+    dist = jnp.sqrt(dx * dx + dy * dy)
+    safe = jnp.where(dist > 0, dist, 1.0)
+    sin = jnp.where(dist > 0, dy / safe, 0.0)
+    cos = jnp.where(dist > 0, dx / safe, 0.0)
+    return dx, dy, dist, sin, cos
+
+
+def _kernel(
+    lo_ref,      # SMEM (b, nb)  first col-block to visit per row-block
+    hi_ref,      # SMEM (b, nb)  last col-block (inclusive)
+    q_ref,       # (1, 1, BQ, c_)
+    k_ref,       # (1, 1, n, c_)
+    v_ref,       # (1, 1, n, c_)
+    pos_ref,     # (1, n, 2)
+    posq_ref,    # (1, BQ, 2)
+    nc_ref,      # (1, BQ, nnc) int32 neighbor cluster ids
+    w5_ref,      # SMEM (h, 5) rel-pos bias weights
+    b5_ref,      # SMEM (h, 1) bias
+    blankk_ref,  # VMEM (h, c_) blank keys
+    out_ref,     # (1, 1, BQ, c_)
+    blank_ref,   # (1, 1, BQ, 1)
+    *,
+    cluster_size: int,
+    n_tokens: int,
+):
+    bq = q_ref.shape[2]
+    c_ = q_ref.shape[3]
+    nnc = nc_ref.shape[2]
+
+    bi = pl.program_id(0)
+    hid = pl.program_id(1)
+    nbi = pl.program_id(2)
+
+    q = q_ref[0, 0]                     # (BQ, c_)
+    posq = posq_ref[0]                  # (BQ, 2)
+    nc = nc_ref[0]                      # (BQ, nnc)
+    w5 = [w5_ref[hid, i] for i in range(5)]
+    b5 = b5_ref[hid, 0]
+
+    lo = lo_ref[bi, nbi]
+    hi = hi_ref[bi, nbi]
+
+    def body(cb, carry):
+        m_run, l_run, acc = carry
+        kb = k_ref[0, 0, pl.ds(cb * BLOCK_K, BLOCK_K), :]       # (BK, c_)
+        vb = v_ref[0, 0, pl.ds(cb * BLOCK_K, BLOCK_K), :]
+        posk = pos_ref[0, pl.ds(cb * BLOCK_K, BLOCK_K), :]      # (BK, 2)
+
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                        # (BQ, BK)
+
+        # rel-pos bias: features(pos_k - pos_q) . w5 + b5
+        rel_x = posk[:, 0:1].reshape(1, BLOCK_K) - posq[:, 0:1]  # (BQ, BK)
+        rel_y = posk[:, 1:2].reshape(1, BLOCK_K) - posq[:, 1:2]
+        dx, dy, dist, sin, cos = _bias_features(rel_x, rel_y)
+        bias = (
+            dx * w5[0] + dy * w5[1] + dist * w5[2] + sin * w5[3] + cos * w5[4]
+            + b5
+        )
+        s = s + bias
+
+        # neighborhood mask: col cluster id in this row's neighbor list
+        col_cid = (
+            cb * BLOCK_K
+            + jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK_K), 1)
+        ) // cluster_size                                        # (1, BK)
+        allowed = jnp.zeros((bq, BLOCK_K), jnp.bool_)
+        for t in range(nnc):
+            allowed = allowed | (nc[:, t : t + 1] == col_cid)
+        s = jnp.where(allowed, s, _NEG)
+
+        m_new = jnp.maximum(m_run, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_run - m_new)
+        l_new = l_run * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return m_new, l_new, acc
+
+    m0 = jnp.full((bq, 1), _NEG, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, c_), jnp.float32)
+    m_run, l_run, acc = jax.lax.fori_loop(lo, hi + 1, body, (m0, l0, acc0))
+
+    # blank attention sink (aff.py:139-147)
+    blank_row = blankk_ref[pl.ds(hid, 1), :]                  # (1, c_)
+    blank_logit = jnp.sum(q * blank_row, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_run, blank_logit)
+    alpha = jnp.exp(m_run - m_new)
+    p_blank = jnp.exp(blank_logit - m_new)
+    l_new = l_run * alpha + p_blank
+    acc = acc * alpha
+
+    inv = 1.0 / l_new
+    out_ref[0, 0] = acc * inv
+    blank_ref[0, 0] = p_blank * inv
+
+
+def _sfc_attention_forward(
+    q, k, v, pos, nc, w5, b5, blank_k, cluster_size: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    b, h, n, c_ = q.shape
+    nnc = nc.shape[-1]
+    assert n % BLOCK_Q == 0 and n % BLOCK_K == 0, n
+    nb = n // BLOCK_Q
+
+    # visitation bounds per (b, row-block): col-blocks covering the min..max
+    # neighbor cluster id of the row-block's tokens (SFC locality -> narrow)
+    cpb = BLOCK_K // cluster_size
+    nc_blk = nc.reshape(b, nb, BLOCK_Q, nnc)
+    lo = (jnp.min(nc_blk, axis=(2, 3)) // cpb).astype(jnp.int32)   # (b, nb)
+    hi = (jnp.max(nc_blk, axis=(2, 3)) // cpb).astype(jnp.int32)
+
+    pos = pos.astype(jnp.float32)
+
+    grid = (b, h, nb)
+    kernel = functools.partial(_kernel, cluster_size=cluster_size, n_tokens=n)
+    out, blank = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, BLOCK_Q, c_), lambda bi, hi_, nbi: (bi, hi_, nbi, 0)),
+            pl.BlockSpec((1, 1, n, c_), lambda bi, hi_, nbi: (bi, hi_, 0, 0)),
+            pl.BlockSpec((1, 1, n, c_), lambda bi, hi_, nbi: (bi, hi_, 0, 0)),
+            pl.BlockSpec((1, n, 2), lambda bi, hi_, nbi: (bi, 0, 0)),
+            pl.BlockSpec((1, BLOCK_Q, 2), lambda bi, hi_, nbi: (bi, nbi, 0)),
+            pl.BlockSpec((1, BLOCK_Q, nnc), lambda bi, hi_, nbi: (bi, nbi, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, BLOCK_Q, c_), lambda bi, hi_, nbi: (bi, hi_, nbi, 0)),
+            pl.BlockSpec((1, 1, BLOCK_Q, 1), lambda bi, hi_, nbi: (bi, hi_, nbi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, n, c_), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(lo, hi, q, k, v, pos, pos.reshape(b, nb, BLOCK_Q, 2).reshape(b, n, 2),
+      nc, w5, b5.reshape(h, 1), blank_k)
+    return out, blank
+
+
+def sfc_attention_reference(q, k, v, pos, nc, w5, b5, blank_k, cluster_size):
+    """Pure-XLA mask formulation (semantic definition; also the VJP path).
+    q/k/v: (b, h, n, c_); pos: (b, n, 2); nc: (b, n, nnc) neighbor cluster ids
+    w5: (h, 5), b5: (h,), blank_k: (h, c_).
+    Returns (out (b, h, n, c_), blank_prob (b, h, n, 1))."""
+    b, h, n, c_ = q.shape
+    from ...models.layers import rel_pos_features
+
+    cid = jnp.arange(n, dtype=jnp.int32) // cluster_size          # (n,)
+    allowed = jnp.any(
+        nc[:, :, :, None] == cid[None, None, None, :], axis=2
+    )                                                              # (b, n, n)
+
+    prec = jax.lax.Precision.HIGHEST
+    s = jnp.einsum("bhic,bhjc->bhij", q, k, precision=prec)
+    rel = pos[:, None, :, :] - pos[:, :, None, :]                  # (b, n, n, 2)
+    feats = rel_pos_features(rel)                                  # (b, n, n, 5)
+    bias = jnp.einsum("bijf,hf->bhij", feats, w5, precision=prec) + b5[None, :, None, None]
+    s = s + bias
+    s = jnp.where(allowed[:, None], s, _NEG)
+
+    blank_logit = jnp.einsum("bhic,hc->bhi", q, blank_k, precision=prec)[..., None]
+    s = jnp.concatenate([s, blank_logit], axis=-1)
+    p = jax.nn.softmax(s, axis=-1)
+    blank_prob = p[..., -1:]
+    out = jnp.einsum("bhij,bhjc->bhic", p[..., :-1], v, precision=prec)
+    return out, blank_prob
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def sfc_cluster_attention(q, k, v, pos, nc, w5, b5, blank_k, cluster_size):
+    """Fused local cluster attention over SFC-ordered tokens (see module doc)."""
+    return _sfc_attention_forward(q, k, v, pos, nc, w5, b5, blank_k, cluster_size)
+
+
+def _fwd(q, k, v, pos, nc, w5, b5, blank_k, cluster_size):
+    out = _sfc_attention_forward(q, k, v, pos, nc, w5, b5, blank_k, cluster_size)
+    return out, (q, k, v, pos, nc, w5, b5, blank_k)
+
+
+def _bwd(cluster_size, res, grads):
+    q, k, v, pos, nc, w5, b5, blank_k = res
+
+    def f(q, k, v, w5, b5, blank_k):
+        return sfc_attention_reference(q, k, v, pos, nc, w5, b5, blank_k, cluster_size)
+
+    _, vjp = jax.vjp(f, q, k, v, w5, b5, blank_k)
+    dq, dk, dv, dw5, db5, dblank_k = vjp(grads)
+    return dq, dk, dv, None, None, dw5, db5, dblank_k
+
+
+sfc_cluster_attention.defvjp(_fwd, _bwd)
