@@ -6,11 +6,11 @@ XLA executes those gathers row-by-row (~75 ms per stage-1 block at 512x512 —
 the single hottest op in the model).
 
 TPU-native reformulation: tokens are sorted along a space-filling curve and
-clusters are contiguous 8-token spans, so "key j is in query i's neighborhood"
-is simply ``j // cluster_size in nearest_cluster[i]``.  That turns local
-attention into *block-sparse flash attention*:
+clusters are contiguous ``cluster_size``-token spans, so "key j is in query
+i's neighborhood" is simply ``j // cluster_size in nearest_cluster[i]``.
+That turns local attention into *block-sparse flash attention*:
 
-  - Q row-blocks of 128 tokens; K/V col-blocks of 128 tokens (16 clusters)
+  - Q row-blocks of 128 tokens; K/V col-blocks of 128 tokens
   - per row-block, only col-blocks intersecting [min, max] of its tokens'
     neighbor-cluster ids are visited (SFC locality keeps that range small);
     bounds are precomputed outside the kernel and read from SMEM
@@ -20,6 +20,11 @@ attention into *block-sparse flash attention*:
     (b, n, m, 5) rel-feature and (b, n, m, h) bias tensors never exist
   - online softmax with the learnable blank attention sink folded in at the
     epilogue (aff.py:139-147)
+
+K/V/pos/nc are carried TOKEN-LAST ((c_, n), (2, n), (nnc, n)) so the long
+token axis sits in the 128-lane dimension — with token-last layouts the whole
+stage-1 working set is ~3 MB of VMEM; token-first layouts lane-pad the narrow
+trailing dims (c_=16, 2, 6) up to 128 for a 64x blowup.
 
 Non-neighbor keys are excluded exactly (the reference's -100-masked *padding*
 slots simply don't exist in the mask formulation, and exp(-100) ~ 0 is the
@@ -45,48 +50,37 @@ from ...models.layers import REL_POS_WIDTH
 BLOCK_Q = 128
 BLOCK_K = 128
 _NEG = -1e30
-
-
-def _bias_features(rel_x, rel_y):
-    """(dx, dy, dist, sin, cos) on the fly (models/layers.rel_pos_features)."""
-    dx = jnp.clip(rel_x, -REL_POS_WIDTH, REL_POS_WIDTH)
-    dy = jnp.clip(rel_y, -REL_POS_WIDTH, REL_POS_WIDTH)
-    dist = jnp.sqrt(dx * dx + dy * dy)
-    safe = jnp.where(dist > 0, dist, 1.0)
-    sin = jnp.where(dist > 0, dy / safe, 0.0)
-    cos = jnp.where(dist > 0, dx / safe, 0.0)
-    return dx, dy, dist, sin, cos
+_PREC = jax.lax.Precision.HIGHEST
 
 
 def _kernel(
     lo_ref,      # SMEM (b, nb)  first col-block to visit per row-block
     hi_ref,      # SMEM (b, nb)  last col-block (inclusive)
     q_ref,       # (1, 1, BQ, c_)
-    k_ref,       # (1, 1, n, c_)
-    v_ref,       # (1, 1, n, c_)
-    pos_ref,     # (1, n, 2)
-    posq_ref,    # (1, BQ, 2)
-    nc_ref,      # (1, BQ, nnc) int32 neighbor cluster ids
-    w5_ref,      # SMEM (h, 5) rel-pos bias weights
-    b5_ref,      # SMEM (h, 1) bias
-    blankk_ref,  # VMEM (h, c_) blank keys
+    kt_ref,      # (1, 1, c_, n)   token-last
+    vt_ref,      # (1, 1, c_, n)
+    post_ref,    # (1, 2, n)       token-last positions
+    posq_ref,    # (1, 2, BQ)      this row-block's positions (token-last)
+    ncq_ref,     # (1, nnc, BQ)    neighbor cluster ids (token-last)
+    w5_ref,      # SMEM (h, 5)     rel-pos bias weights
+    b5_ref,      # SMEM (h, 1)     rel-pos bias bias
+    blankk_ref,  # VMEM (h, c_)    blank keys
     out_ref,     # (1, 1, BQ, c_)
     blank_ref,   # (1, 1, BQ, 1)
     *,
     cluster_size: int,
-    n_tokens: int,
 ):
     bq = q_ref.shape[2]
     c_ = q_ref.shape[3]
-    nnc = nc_ref.shape[2]
+    nnc = ncq_ref.shape[1]
 
     bi = pl.program_id(0)
     hid = pl.program_id(1)
     nbi = pl.program_id(2)
 
-    q = q_ref[0, 0]                     # (BQ, c_)
-    posq = posq_ref[0]                  # (BQ, 2)
-    nc = nc_ref[0]                      # (BQ, nnc)
+    q = q_ref[0, 0]                                   # (BQ, c_)
+    posq_x = posq_ref[0, 0:1, :].reshape(bq, 1)       # (BQ, 1)
+    posq_y = posq_ref[0, 1:2, :].reshape(bq, 1)
     w5 = [w5_ref[hid, i] for i in range(5)]
     b5 = b5_ref[hid, 0]
 
@@ -95,25 +89,25 @@ def _kernel(
 
     def body(cb, carry):
         m_run, l_run, acc = carry
-        kb = k_ref[0, 0, pl.ds(cb * BLOCK_K, BLOCK_K), :]       # (BK, c_)
-        vb = v_ref[0, 0, pl.ds(cb * BLOCK_K, BLOCK_K), :]
-        posk = pos_ref[0, pl.ds(cb * BLOCK_K, BLOCK_K), :]      # (BK, 2)
+        kb = kt_ref[0, 0, :, pl.ds(cb * BLOCK_K, BLOCK_K)]       # (c_, BK)
+        vb = vt_ref[0, 0, :, pl.ds(cb * BLOCK_K, BLOCK_K)]
+        posk_x = post_ref[0, 0:1, pl.ds(cb * BLOCK_K, BLOCK_K)]  # (1, BK)
+        posk_y = post_ref[0, 1:2, pl.ds(cb * BLOCK_K, BLOCK_K)]
 
         s = jax.lax.dot_general(
-            q, kb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            q, kb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
         )                                                        # (BQ, BK)
 
-        # rel-pos bias: features(pos_k - pos_q) . w5 + b5
-        rel_x = posk[:, 0:1].reshape(1, BLOCK_K) - posq[:, 0:1]  # (BQ, BK)
-        rel_y = posk[:, 1:2].reshape(1, BLOCK_K) - posq[:, 1:2]
-        dx, dy, dist, sin, cos = _bias_features(rel_x, rel_y)
-        bias = (
-            dx * w5[0] + dy * w5[1] + dist * w5[2] + sin * w5[3] + cos * w5[4]
-            + b5
-        )
-        s = s + bias
+        # rel-pos bias: features(pos_k - pos_q) . w5 + b5 (models/layers.py)
+        dx = jnp.clip(posk_x - posq_x, -REL_POS_WIDTH, REL_POS_WIDTH)
+        dy = jnp.clip(posk_y - posq_y, -REL_POS_WIDTH, REL_POS_WIDTH)
+        dist = jnp.sqrt(dx * dx + dy * dy)
+        safe = jnp.where(dist > 0, dist, 1.0)
+        sin = jnp.where(dist > 0, dy / safe, 0.0)
+        cos = jnp.where(dist > 0, dx / safe, 0.0)
+        s = s + (dx * w5[0] + dy * w5[1] + dist * w5[2]
+                 + sin * w5[3] + cos * w5[4] + b5)
 
         # neighborhood mask: col cluster id in this row's neighbor list
         col_cid = (
@@ -122,7 +116,8 @@ def _kernel(
         ) // cluster_size                                        # (1, BK)
         allowed = jnp.zeros((bq, BLOCK_K), jnp.bool_)
         for t in range(nnc):
-            allowed = allowed | (nc[:, t : t + 1] == col_cid)
+            nc_t = ncq_ref[0, t : t + 1, :].reshape(bq, 1)       # (BQ, 1)
+            allowed = allowed | (nc_t == col_cid)
         s = jnp.where(allowed, s, _NEG)
 
         m_new = jnp.maximum(m_run, jnp.max(s, axis=1, keepdims=True))
@@ -130,9 +125,8 @@ def _kernel(
         alpha = jnp.exp(m_run - m_new)
         l_new = l_run * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, vb, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            p, vb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
         )
         return m_new, l_new, acc
 
@@ -142,7 +136,7 @@ def _kernel(
     m_run, l_run, acc = jax.lax.fori_loop(lo, hi + 1, body, (m0, l0, acc0))
 
     # blank attention sink (aff.py:139-147)
-    blank_row = blankk_ref[pl.ds(hid, 1), :]                  # (1, c_)
+    blank_row = blankk_ref[pl.ds(hid, 1), :]                     # (1, c_)
     blank_logit = jnp.sum(q * blank_row, axis=1, keepdims=True)
     m_new = jnp.maximum(m_run, blank_logit)
     alpha = jnp.exp(m_run - m_new)
@@ -165,15 +159,17 @@ def _sfc_attention_forward(
 
     # visitation bounds per (b, row-block): col-blocks covering the min..max
     # neighbor cluster id of the row-block's tokens (SFC locality -> narrow)
-    cpb = BLOCK_K // cluster_size
     nc_blk = nc.reshape(b, nb, BLOCK_Q, nnc)
-    lo = (jnp.min(nc_blk, axis=(2, 3)) // cpb).astype(jnp.int32)   # (b, nb)
-    hi = (jnp.max(nc_blk, axis=(2, 3)) // cpb).astype(jnp.int32)
+    lo = (jnp.min(nc_blk, axis=(2, 3)) * cluster_size // BLOCK_K).astype(jnp.int32)
+    hi = (jnp.max(nc_blk, axis=(2, 3)) * cluster_size // BLOCK_K).astype(jnp.int32)
 
-    pos = pos.astype(jnp.float32)
+    pos_t = pos.astype(jnp.float32).transpose(0, 2, 1)      # (b, 2, n)
+    nc_t = nc.transpose(0, 2, 1)                            # (b, nnc, n)
+    kt = k.transpose(0, 1, 3, 2)                            # (b, h, c_, n)
+    vt = v.transpose(0, 1, 3, 2)
 
     grid = (b, h, nb)
-    kernel = functools.partial(_kernel, cluster_size=cluster_size, n_tokens=n)
+    kernel = functools.partial(_kernel, cluster_size=cluster_size)
     out, blank = pl.pallas_call(
         kernel,
         grid=grid,
@@ -181,11 +177,11 @@ def _sfc_attention_forward(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, BLOCK_Q, c_), lambda bi, hi_, nbi: (bi, hi_, nbi, 0)),
-            pl.BlockSpec((1, 1, n, c_), lambda bi, hi_, nbi: (bi, hi_, 0, 0)),
-            pl.BlockSpec((1, 1, n, c_), lambda bi, hi_, nbi: (bi, hi_, 0, 0)),
-            pl.BlockSpec((1, n, 2), lambda bi, hi_, nbi: (bi, 0, 0)),
-            pl.BlockSpec((1, BLOCK_Q, 2), lambda bi, hi_, nbi: (bi, nbi, 0)),
-            pl.BlockSpec((1, BLOCK_Q, nnc), lambda bi, hi_, nbi: (bi, nbi, 0)),
+            pl.BlockSpec((1, 1, c_, n), lambda bi, hi_, nbi: (bi, hi_, 0, 0)),
+            pl.BlockSpec((1, 1, c_, n), lambda bi, hi_, nbi: (bi, hi_, 0, 0)),
+            pl.BlockSpec((1, 2, n), lambda bi, hi_, nbi: (bi, 0, 0)),
+            pl.BlockSpec((1, 2, BLOCK_Q), lambda bi, hi_, nbi: (bi, 0, nbi)),
+            pl.BlockSpec((1, nnc, BLOCK_Q), lambda bi, hi_, nbi: (bi, 0, nbi)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -199,10 +195,9 @@ def _sfc_attention_forward(
             jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
-    )(lo, hi, q, k, v, pos, pos.reshape(b, nb, BLOCK_Q, 2).reshape(b, n, 2),
-      nc, w5, b5.reshape(h, 1), blank_k)
+    )(lo, hi, q, kt, vt, pos_t, pos_t, nc_t, w5, b5.reshape(h, 1), blank_k)
     return out, blank
 
 
@@ -219,19 +214,21 @@ def sfc_attention_reference(q, k, v, pos, nc, w5, b5, blank_k, cluster_size):
         nc[:, :, :, None] == cid[None, None, None, :], axis=2
     )                                                              # (b, n, n)
 
-    prec = jax.lax.Precision.HIGHEST
-    s = jnp.einsum("bhic,bhjc->bhij", q, k, precision=prec)
+    s = jnp.einsum("bhic,bhjc->bhij", q, k, precision=_PREC)
     rel = pos[:, None, :, :] - pos[:, :, None, :]                  # (b, n, n, 2)
     feats = rel_pos_features(rel)                                  # (b, n, n, 5)
-    bias = jnp.einsum("bijf,hf->bhij", feats, w5, precision=prec) + b5[None, :, None, None]
+    bias = (
+        jnp.einsum("bijf,hf->bhij", feats, w5, precision=_PREC)
+        + b5[None, :, None, None]
+    )
     s = s + bias
     s = jnp.where(allowed[:, None], s, _NEG)
 
-    blank_logit = jnp.einsum("bhic,hc->bhi", q, blank_k, precision=prec)[..., None]
+    blank_logit = jnp.einsum("bhic,hc->bhi", q, blank_k, precision=_PREC)[..., None]
     s = jnp.concatenate([s, blank_logit], axis=-1)
     p = jax.nn.softmax(s, axis=-1)
     blank_prob = p[..., -1:]
-    out = jnp.einsum("bhij,bhjc->bhic", p[..., :-1], v, precision=prec)
+    out = jnp.einsum("bhij,bhjc->bhic", p[..., :-1], v, precision=_PREC)
     return out, blank_prob
 
 

@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Inference demo — the reference demo/demo.py surface on the TPU stack:
+read images, run the model, write visualized segmentations.
+
+Usage:
+  python demo/demo.py --config-file configs/... --input img1.jpg img2.jpg \
+      --output out_dir [--blur] [--opts MODEL.WEIGHTS ckpt.pth ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def get_parser():
+    parser = argparse.ArgumentParser(description="autofocusformermod_tpu demo")
+    parser.add_argument("--config-file", default="", metavar="FILE")
+    parser.add_argument("--input", nargs="+", help="input images or globs")
+    parser.add_argument("--output", default="demo_out")
+    parser.add_argument("--blur", action="store_true",
+                        help="visualize on blurred images (reference --blur)")
+    parser.add_argument("--confidence-threshold", type=float, default=0.5)
+    parser.add_argument("--opts", default=[], nargs=argparse.REMAINDER)
+    return parser
+
+
+def setup_cfg(args):
+    from autofocusformermod_tpu.config import (
+        add_deeplab_config, add_maskformer2_config, get_cfg,
+    )
+
+    cfg = get_cfg()
+    add_deeplab_config(cfg)
+    add_maskformer2_config(cfg)
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    cfg.freeze()
+    return cfg
+
+
+def color_map(n: int) -> np.ndarray:
+    """Deterministic distinct colors for class visualization."""
+    rng = np.random.default_rng(7)
+    return rng.integers(40, 255, size=(n, 3), dtype=np.uint8)
+
+
+class VisualizationDemo:
+    """Reference demo/predictor.py:19-73 equivalent."""
+
+    def __init__(self, cfg):
+        import jax
+        import jax.numpy as jnp
+
+        from autofocusformermod_tpu.models import (
+            maskformer_from_config, upsample_masks,
+        )
+        from autofocusformermod_tpu.models.inference import semantic_inference
+
+        self.cfg = cfg
+        self.model = maskformer_from_config(cfg)
+        self.min_size = cfg.INPUT.MIN_SIZE_TEST
+        self.max_size = cfg.INPUT.MAX_SIZE_TEST
+        self.div = cfg.MODEL.MASK_FORMER.SIZE_DIVISIBILITY
+        self.nc = cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES
+        self.colors = color_map(self.nc)
+        self._variables = None
+        self._jax = jax
+        self._jnp = jnp
+        self._upsample = upsample_masks
+        self._seminf = semantic_inference
+
+    def _ensure_variables(self, image_hw):
+        import jax
+        import jax.numpy as jnp
+
+        if self._variables is not None:
+            return
+        dummy = jnp.zeros((1, *image_hw, 3), jnp.float32)
+        self._variables = jax.jit(
+            lambda: self.model.init(jax.random.PRNGKey(0), dummy, train=False)
+        )()
+        weights = self.cfg.MODEL.WEIGHTS
+        if weights and os.path.exists(weights):
+            from autofocusformermod_tpu.engine.convert_checkpoint import (
+                load_reference_weights,
+            )
+
+            params = load_reference_weights(weights, self._variables["params"])
+            if params is not None:
+                self._variables = dict(self._variables, params=params)
+
+    def run_on_image(self, img: np.ndarray):
+        import cv2
+        import jax.numpy as jnp
+
+        h, w = img.shape[:2]
+        scale = self.min_size / min(h, w)
+        if max(h, w) * scale > self.max_size:
+            scale = self.max_size / max(h, w)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        resized = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        ph = -(-nh // self.div) * self.div
+        pw = -(-nw // self.div) * self.div
+        padded = np.zeros((ph, pw, 3), np.float32)
+        padded[:nh, :nw] = resized
+
+        self._ensure_variables((ph, pw))
+        out = self.model.apply(self._variables, jnp.asarray(padded)[None], train=False)
+        masks = self._upsample(out["pred_masks"], (ph, pw))[0]
+        sem = self._seminf(out["pred_logits"][0], masks)
+        sem = np.asarray(sem[:, :nh, :nw])
+        pred = sem.argmax(0)
+        pred_full = cv2.resize(pred.astype(np.int32), (w, h),
+                               interpolation=cv2.INTER_NEAREST)
+        return pred_full
+
+    def visualize(self, img: np.ndarray, pred: np.ndarray, blur: bool = False):
+        import cv2
+
+        base = cv2.GaussianBlur(img, (31, 31), 0) if blur else img
+        overlay = self.colors[np.clip(pred, 0, self.nc - 1)]
+        return (0.5 * base + 0.5 * overlay).astype(np.uint8)
+
+
+def main():
+    args = get_parser().parse_args()
+    cfg = setup_cfg(args)
+    demo = VisualizationDemo(cfg)
+
+    paths = []
+    for pat in args.input or []:
+        paths += glob.glob(pat) if any(c in pat for c in "*?[") else [pat]
+    os.makedirs(args.output, exist_ok=True)
+
+    from PIL import Image
+
+    for p in paths:
+        img = np.asarray(Image.open(p).convert("RGB"))
+        t0 = time.perf_counter()
+        pred = demo.run_on_image(img)
+        vis = demo.visualize(img, pred, blur=args.blur)
+        out_path = os.path.join(args.output, os.path.basename(p))
+        Image.fromarray(vis).save(out_path)
+        print(f"{p}: {time.perf_counter() - t0:.2f}s -> {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -79,3 +79,32 @@ def test_loads_every_reference_yaml():
         except Exception as e:  # noqa: BLE001
             failures.append((f, repr(e)))
     assert not failures, failures[:5]
+
+
+def test_loads_own_config_tree():
+    import glob
+
+    files = glob.glob("configs/**/*.yaml", recursive=True)
+    assert len(files) >= 8
+    for f in files:
+        if os.path.basename(f).startswith("base"):
+            continue
+        cfg = _full_cfg()
+        cfg.merge_from_file(f)
+        assert cfg.MODEL.MASK_FORMER.NUM_OBJECT_QUERIES == 100
+
+
+def test_own_aff_mini_matches_reference_values():
+    cfg = _full_cfg()
+    cfg.merge_from_file("configs/ade20k/maskformer2_aff_mini_bs32_80k.yaml")
+    ref = _full_cfg()
+    if os.path.isdir(REF_CONFIGS):
+        ref.merge_from_file(os.path.join(
+            REF_CONFIGS,
+            "ade20k/semantic-segmentation/aff/maskformer2_aff_mini_bs32_80k.yaml"))
+        for key in ["EMBED_DIM", "DEPTHS", "NUM_HEADS", "MLP_RATIO",
+                    "CLUSTER_SIZE", "NBHD_SIZE", "ALPHA", "DS_RATE"]:
+            assert cfg.MODEL.AFF[key] == ref.MODEL.AFF[key], key
+        assert cfg.SOLVER.IMS_PER_BATCH == ref.SOLVER.IMS_PER_BATCH
+        assert cfg.SOLVER.MAX_ITER == ref.SOLVER.MAX_ITER
+        assert cfg.MODEL.MASK_FORMER.DEC_LAYERS == ref.MODEL.MASK_FORMER.DEC_LAYERS
