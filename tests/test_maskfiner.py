@@ -1,0 +1,107 @@
+"""MaskFiner cascade tests on a tiny config (CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from autofocusformermod_tpu.config import get_cfg, add_maskformer2_config
+from autofocusformermod_tpu.models.maskfiner import maskfiner_from_config, gini_disagreement
+
+
+def tiny_maskfiner_cfg():
+    cfg = get_cfg()
+    add_maskformer2_config(cfg)
+    cfg.MODEL.MR.NAME = ["MixResViT", "MixResNeighbour", "MixResNeighbour"]
+    cfg.MODEL.MR.EMBED_DIM = [32, 32, 32]
+    cfg.MODEL.MR.DEPTHS = [1, 1, 1]
+    cfg.MODEL.MR.NUM_HEADS = [2, 2, 2]
+    cfg.MODEL.MR.PATCH_SIZES = [16, 8, 4]
+    cfg.MODEL.MR.SPLIT_RATIO = [4, 4, 4]
+    cfg.MODEL.MR.MLP_RATIO = [1.0, 1.0, 1.0]
+    cfg.MODEL.MR.UPSCALE_RATIO = [0.25, 0.25, 0.25]
+    cfg.MODEL.MR.DROP_RATE = [0.0, 0.0, 0.0]
+    cfg.MODEL.MR.ATTN_DROP_RATE = [0.0, 0.0, 0.0]
+    cfg.MODEL.MR.CLUSTER_SIZE = [8, 8, 8]
+    cfg.MODEL.MR.NBHD_SIZE = [16, 16, 16]
+    cfg.MODEL.MASK_FINER.NUM_RESOLUTION_SCALES = 3
+    cfg.MODEL.MASK_FINER.NHEADS = [2, 2, 2]
+    cfg.MODEL.MASK_FINER.DIM_FEEDFORWARD = [32, 32, 32]
+    cfg.MODEL.MASK_FINER.DEC_LAYERS = [2, 2, 3]
+    cfg.MODEL.MASK_FINER.DECODER_LEVELS = [1, 2, 3]
+    cfg.MODEL.MASK_FINER.MASK_DIM = [32, 32, 32]
+    cfg.MODEL.MASK_FINER.HIDDEN_DIM = [32, 32, 32]
+    cfg.MODEL.MASK_FINER.NUM_OBJECT_QUERIES = 5
+    cfg.MODEL.MR_SEM_SEG_HEAD.NUM_CLASSES = 7
+    cfg.MODEL.MR_SEM_SEG_HEAD.CONVS_DIM = [32, 32, 32]
+    cfg.MODEL.MR_SEM_SEG_HEAD.TRANSFORMER_ENC_LAYERS = [1, 1, 1]
+    cfg.MODEL.MR_SEM_SEG_HEAD.MLP_RATIO = [1.0, 1.0, 1.0]
+    cfg.MODEL.MR_SEM_SEG_HEAD.NHEADS = [2, 2, 2]
+    cfg.MODEL.MR_SEM_SEG_HEAD.IN_FEATURES = ["res2", "res3", "res4"]
+    cfg.MODEL.MR_SEM_SEG_HEAD.DEFORMABLE_TRANSFORMER_ENCODER_IN_FEATURES = [
+        "res3", "res4",
+    ]
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def cascade_out():
+    cfg = tiny_maskfiner_cfg()
+    model = maskfiner_from_config(cfg)
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 255, (2, 64, 64, 3)), jnp.float32
+    )
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    return cfg, model, variables, x, out
+
+
+def test_cascade_output_structure(cascade_out):
+    cfg, model, variables, x, out = cascade_out
+    q = cfg.MODEL.MASK_FINER.NUM_OBJECT_QUERIES
+    nc = cfg.MODEL.MR_SEM_SEG_HEAD.NUM_CLASSES
+    assert out["pred_logits"].shape == (2, q, nc + 1)
+    # final stage rasterizes on its finest level grid (patch 4 -> 16x16)
+    assert out["pred_masks"].shape == (2, q, 16, 16)
+    # aux outputs accumulate across stages: stages emit dec_layers[i] (+1 for
+    # non-final stages' extra head); final stage contributes DEC_LAYERS-1
+    assert len(out["aux_outputs"]) == 2 + 2 + 2
+    assert len(out["disagreement_masks"]) == 3
+    assert np.isfinite(np.asarray(out["pred_masks"])).all()
+
+
+def test_disagreement_mask_properties(cascade_out):
+    cfg, model, variables, x, out = cascade_out
+    for dm in out["disagreement_masks"]:
+        d = np.asarray(dm)
+        assert np.isfinite(d).all()
+        assert (d >= 0).all()
+
+
+def test_gini_zero_when_classes_agree():
+    # single class voted by all queries -> single column -> MAD 0 -> gini 0
+    rng = np.random.default_rng(0)
+    masks = jnp.asarray(rng.standard_normal((1, 4, 10)), jnp.float32)
+    cls = jnp.zeros((1, 4, 3)).at[:, :, 1].set(5.0)
+    g = np.asarray(gini_disagreement(masks, cls))
+    np.testing.assert_allclose(g, 0.0, atol=1e-5)
+
+
+def test_cascade_grad_flows_through_split(cascade_out):
+    cfg, model, variables, x, out = cascade_out
+
+    def loss_fn(params):
+        o = model.apply(
+            {"params": params}, x, train=True,
+            rngs={"dropout": jax.random.PRNGKey(0)},
+            mutable=["batch_stats"],
+        )[0]
+        return jnp.sum(o["pred_masks"] ** 2) + sum(
+            jnp.sum(a["pred_masks"] ** 2) for a in o["aux_outputs"]
+        )
+
+    g = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    total = sum(float(jnp.abs(l).sum()) for l in leaves)
+    assert total > 0
