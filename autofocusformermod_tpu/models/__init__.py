@@ -4,6 +4,19 @@ from .transformer_decoder import (
     MultiScaleMaskedTransformerDecoder,
     transformer_decoder_from_config,
 )
+from .swin import SwinTransformer, swin_from_config
+from .convnextv2 import ConvNeXtV2
+from .mixres import MixResViT, MixResNeighbour
+from .maskfiner import MaskFiner, MaskPredictor, maskfiner_from_config
+from .tta import SemanticSegmentorWithTTA
+from .registry import (
+    BACKBONE_REGISTRY,
+    META_ARCH_REGISTRY,
+    SEM_SEG_HEADS_REGISTRY,
+    TRANSFORMER_DECODER_REGISTRY,
+    build_backbone,
+    build_model,
+)
 from .maskformer import (
     MaskFormer,
     MaskFormerHead,
@@ -24,4 +37,19 @@ __all__ = [
     "maskformer_from_config",
     "semantic_inference",
     "upsample_masks",
+    "SwinTransformer",
+    "swin_from_config",
+    "ConvNeXtV2",
+    "MixResViT",
+    "MixResNeighbour",
+    "MaskFiner",
+    "MaskPredictor",
+    "maskfiner_from_config",
+    "SemanticSegmentorWithTTA",
+    "BACKBONE_REGISTRY",
+    "META_ARCH_REGISTRY",
+    "SEM_SEG_HEADS_REGISTRY",
+    "TRANSFORMER_DECODER_REGISTRY",
+    "build_backbone",
+    "build_model",
 ]

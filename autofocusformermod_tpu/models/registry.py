@@ -1,0 +1,74 @@
+"""Model registries — the detectron2-style plugin surface
+(BACKBONE_REGISTRY / SEM_SEG_HEADS_REGISTRY / TRANSFORMER_DECODER_REGISTRY /
+META_ARCH_REGISTRY used throughout the reference)."""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+
+class Registry:
+    def __init__(self, name: str):
+        self._name = name
+        self._map: Dict[str, Callable] = {}
+
+    def register(self, obj: Callable = None, *, name: str = None):
+        if obj is None:
+            return lambda o: self.register(o, name=name)
+        key = name or obj.__name__
+        if key in self._map:
+            raise KeyError(f"{key} already registered in {self._name}")
+        self._map[key] = obj
+        return obj
+
+    def get(self, name: str) -> Callable:
+        if name not in self._map:
+            raise KeyError(
+                f"'{name}' not in {self._name} registry; have {sorted(self._map)}"
+            )
+        return self._map[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._map
+
+
+BACKBONE_REGISTRY = Registry("BACKBONE")
+SEM_SEG_HEADS_REGISTRY = Registry("SEM_SEG_HEADS")
+TRANSFORMER_DECODER_REGISTRY = Registry("TRANSFORMER_DECODER")
+META_ARCH_REGISTRY = Registry("META_ARCH")
+
+
+def _register_builtins():
+    from .aff import aff_from_config
+    from .convnextv2 import ConvNeXtV2
+    from .swin import swin_from_config
+    from .maskformer import maskformer_from_config
+    from .maskfiner import maskfiner_from_config
+    from .pixel_decoder import pixel_decoder_from_config
+    from .transformer_decoder import transformer_decoder_from_config
+
+    BACKBONE_REGISTRY.register(aff_from_config, name="AutoFocusFormer")
+    BACKBONE_REGISTRY.register(swin_from_config, name="D2SwinTransformer")
+    BACKBONE_REGISTRY.register(
+        lambda cfg: ConvNeXtV2(), name="ConvNeXtV2"
+    )
+    SEM_SEG_HEADS_REGISTRY.register(
+        pixel_decoder_from_config, name="MSDeformAttnPixelDecoder"
+    )
+    TRANSFORMER_DECODER_REGISTRY.register(
+        transformer_decoder_from_config, name="MultiScaleMaskedTransformerDecoder"
+    )
+    META_ARCH_REGISTRY.register(maskformer_from_config, name="MaskFormer")
+    META_ARCH_REGISTRY.register(maskfiner_from_config, name="MaskFiner")
+
+
+_register_builtins()
+
+
+def build_model(cfg):
+    """Build the configured meta-architecture (detectron2 build_model shape)."""
+    return META_ARCH_REGISTRY.get(cfg.MODEL.META_ARCHITECTURE)(cfg)
+
+
+def build_backbone(cfg):
+    return BACKBONE_REGISTRY.get(cfg.MODEL.BACKBONE.NAME)(cfg)

@@ -1,0 +1,38 @@
+"""Swin + ConvNeXtV2 baseline backbone shape tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from autofocusformermod_tpu.models.swin import SwinTransformer
+from autofocusformermod_tpu.models.convnextv2 import ConvNeXtV2
+
+
+def test_swin_shapes_and_shifted_windows():
+    model = SwinTransformer(
+        embed_dim=24, depths=(2, 2), num_heads=(2, 2), window_size=4,
+        drop_path_rate=0.0, out_indices=(0, 1),
+    )
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 64, 3)), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(v, x)
+    assert out["res2"].shape == (2, 256, 24)
+    assert out["res3"].shape == (2, 64, 48)
+    assert out["res2_pos"].shape == (2, 256, 2)
+    assert np.isfinite(np.asarray(out["res3"])).all()
+    # rel-pos table named for the no-weight-decay rule
+    flat = jax.tree_util.tree_leaves_with_path(v["params"])
+    assert any(
+        "relative_position_bias_table" in jax.tree_util.keystr(p) for p, _ in flat
+    )
+
+
+def test_convnextv2_shapes():
+    model = ConvNeXtV2(depths=(1, 1, 1, 1), dims=(16, 32, 48, 64))
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 64, 64, 3)), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(v, x)
+    assert out["res2"].shape == (1, 256, 16)
+    assert out["res5"].shape == (1, 4, 64)
+    assert out["res5_scale"].shape == (1, 4)
+    assert np.isfinite(np.asarray(out["res2"])).all()
