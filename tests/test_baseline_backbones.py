@@ -36,3 +36,40 @@ def test_convnextv2_shapes():
     assert out["res5"].shape == (1, 4, 64)
     assert out["res5_scale"].shape == (1, 4)
     assert np.isfinite(np.asarray(out["res2"])).all()
+
+
+def test_grid_pixel_decoder_with_swin():
+    from autofocusformermod_tpu.models.pixel_decoder_grid import (
+        MSDeformAttnPixelDecoderGrid,
+    )
+
+    model = SwinTransformer(
+        embed_dim=24, depths=(1, 1, 1, 1), num_heads=(2, 2, 2, 2), window_size=4,
+        drop_path_rate=0.0,
+    )
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 64, 64, 3)), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x)
+    feats = model.apply(v, x)
+
+    pd = MSDeformAttnPixelDecoderGrid(
+        conv_dim=32, mask_dim=32, transformer_nheads=2,
+        transformer_dim_feedforward=32, transformer_enc_layers=1,
+    )
+    vp = pd.init(jax.random.PRNGKey(1), feats)
+    mf, mf_pos, t0, ms, poss = pd.apply(vp, feats)
+    assert mf.shape == (1, 256, 32)
+    assert mf_pos.shape == (1, 256, 2)
+    assert len(ms) == 3 and len(poss) == 3
+    assert np.isfinite(np.asarray(mf)).all()
+
+
+def test_bilinear_sample_matches_point_sample():
+    from autofocusformermod_tpu.models.pixel_decoder_grid import bilinear_sample
+    from autofocusformermod_tpu.losses import point_sample
+
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.normal(size=(2, 7, 9, 1)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(0, 1, (2, 13, 2)), jnp.float32)
+    a = np.asarray(bilinear_sample(v, loc))[..., 0]
+    b = np.asarray(point_sample(v[..., 0], loc))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
