@@ -1,6 +1,11 @@
 from .catalog import DatasetCatalog, MetadataCatalog
 from .datasets import register_all_builtin
 from .mapper_semantic import MaskFormerSemanticDatasetMapper
+from .mapper_panoptic_instance import (
+    MaskFormerPanopticDatasetMapper,
+    MaskFormerInstanceDatasetMapper,
+    COCOInstanceLSJDatasetMapper,
+)
 from .loader import TrainLoader, eval_loader
 
 __all__ = [
@@ -8,6 +13,9 @@ __all__ = [
     "MetadataCatalog",
     "register_all_builtin",
     "MaskFormerSemanticDatasetMapper",
+    "MaskFormerPanopticDatasetMapper",
+    "MaskFormerInstanceDatasetMapper",
+    "COCOInstanceLSJDatasetMapper",
     "TrainLoader",
     "eval_loader",
 ]

@@ -1,0 +1,160 @@
+"""COCO and Cityscapes panoptic/instance dataset registration.
+
+Port of the reference's builtin.py COCO/cityscapes entries (the detectron2
+loaders it leans on) with direct JSON parsing — no pycocotools dependency.
+Also covers cocofied LVIS annotations (same JSON schema).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List
+
+from .catalog import DatasetCatalog, MetadataCatalog
+
+COCO_CATEGORIES_THING_IDS = list(range(1, 91))  # raw COCO ids (80 valid)
+
+
+def load_coco_instances(json_file: str, image_root: str) -> List[Dict]:
+    with open(json_file) as f:
+        data = json.load(f)
+    id_map = {c["id"]: i for i, c in enumerate(sorted(data["categories"], key=lambda c: c["id"]))}
+    imgs = {im["id"]: im for im in data["images"]}
+    anns_by_img: Dict[int, List] = {}
+    for a in data.get("annotations", []):
+        anns_by_img.setdefault(a["image_id"], []).append(a)
+    out = []
+    for img_id, im in imgs.items():
+        annos = []
+        for a in anns_by_img.get(img_id, []):
+            annos.append(
+                {
+                    "category_id": id_map[a["category_id"]],
+                    "segmentation": a.get("segmentation"),
+                    "iscrowd": a.get("iscrowd", 0),
+                    "bbox": a.get("bbox"),
+                }
+            )
+        out.append(
+            {
+                "file_name": os.path.join(image_root, im["file_name"]),
+                "image_id": img_id,
+                "height": im["height"],
+                "width": im["width"],
+                "annotations": annos,
+            }
+        )
+    return out
+
+
+def load_coco_panoptic(json_file: str, image_root: str, pan_root: str) -> List[Dict]:
+    with open(json_file) as f:
+        data = json.load(f)
+    id_map = {c["id"]: i for i, c in enumerate(sorted(data["categories"], key=lambda c: c["id"]))}
+    imgs = {im["id"]: im for im in data["images"]}
+    out = []
+    for ann in data["annotations"]:
+        im = imgs[ann["image_id"]]
+        segments = [
+            {
+                "id": s["id"],
+                "category_id": id_map[s["category_id"]],
+                "iscrowd": s.get("iscrowd", 0),
+            }
+            for s in ann["segments_info"]
+        ]
+        out.append(
+            {
+                "file_name": os.path.join(
+                    image_root, im["file_name"].replace(".png", ".jpg")
+                    if im["file_name"].endswith(".png") else im["file_name"]
+                ),
+                "image_id": ann["image_id"],
+                "height": im["height"],
+                "width": im["width"],
+                "pan_seg_file_name": os.path.join(pan_root, ann["file_name"]),
+                "segments_info": segments,
+            }
+        )
+    return out
+
+
+def register_coco(root: str) -> None:
+    base = os.path.join(root, "coco")
+    for split in ["train2017", "val2017"]:
+        name = f"coco_2017_{split[:-4]}"
+        jf = os.path.join(base, "annotations", f"instances_{split}.json")
+        ir = os.path.join(base, split)
+        DatasetCatalog.register(
+            name, lambda jf=jf, ir=ir: load_coco_instances(jf, ir)
+        )
+        MetadataCatalog.get(name).set(
+            evaluator_type="coco_instance",
+            thing_dataset_id_to_contiguous_id={i: i for i in range(80)},
+            json_file=jf,
+        )
+        pan_name = f"coco_2017_{split[:-4]}_panoptic"
+        pj = os.path.join(base, "annotations", f"panoptic_{split}.json")
+        pr = os.path.join(base, f"panoptic_{split}")
+        DatasetCatalog.register(
+            pan_name, lambda pj=pj, ir=ir, pr=pr: load_coco_panoptic(pj, ir, pr)
+        )
+        MetadataCatalog.get(pan_name).set(
+            evaluator_type="coco_panoptic_seg",
+            thing_dataset_id_to_contiguous_id={i: i for i in range(80)},
+        )
+    # cocofied LVIS (same schema; reference registers lvis_v1_cocofied)
+    for lv_split, jfname in [
+        ("lvis_v1_train_cocofied", "lvis_v1_train_cocofied.json"),
+        ("lvis_v1_val_cocofied", "lvis_v1_val_cocofied.json"),
+    ]:
+        jf = os.path.join(base, "annotations", jfname)
+        DatasetCatalog.register(
+            lv_split,
+            lambda jf=jf, ir=os.path.join(root, "coco"): load_coco_instances(jf, ir),
+        )
+        MetadataCatalog.get(lv_split).set(evaluator_type="coco_instance")
+
+
+CITYSCAPES_THING_IDS = {11, 12, 13, 14, 15, 16, 17, 18}
+
+
+def load_cityscapes_panoptic(image_dir: str, gt_json: str, gt_dir: str) -> List[Dict]:
+    with open(gt_json) as f:
+        data = json.load(f)
+    out = []
+    for ann in data["annotations"]:
+        city = ann["image_id"].rsplit("_", 2)[0]
+        out.append(
+            {
+                "file_name": os.path.join(
+                    image_dir, city, ann["image_id"] + "_leftImg8bit.png"
+                ),
+                "image_id": ann["image_id"],
+                "height": 1024,
+                "width": 2048,
+                "pan_seg_file_name": os.path.join(gt_dir, ann["file_name"]),
+                "segments_info": ann["segments_info"],
+            }
+        )
+    return out
+
+
+def register_cityscapes_panoptic(root: str) -> None:
+    base = os.path.join(root, "cityscapes")
+    for split in ["train", "val"]:
+        name = f"cityscapes_fine_panoptic_{split}"
+        gt_json = os.path.join(base, "gtFine", f"cityscapes_panoptic_{split}.json")
+        gt_dir = os.path.join(base, "gtFine", f"cityscapes_panoptic_{split}")
+        img_dir = os.path.join(base, "leftImg8bit", split)
+        DatasetCatalog.register(
+            name,
+            lambda img_dir=img_dir, gt_json=gt_json, gt_dir=gt_dir:
+                load_cityscapes_panoptic(img_dir, gt_json, gt_dir),
+        )
+        MetadataCatalog.get(name).set(
+            evaluator_type="cityscapes_panoptic_seg",
+            thing_dataset_id_to_contiguous_id={i: i for i in CITYSCAPES_THING_IDS},
+            ignore_label=255,
+        )
