@@ -88,23 +88,26 @@ class OverlapPatchEmbedding(nn.Module):
 
 
 class DWConvFFN(nn.Module):
-    """FeedForward with a depthwise conv on the token grid between fc1 and
-    GELU (mixres_vit.py:152-178)."""
+    """FeedForward with an optional depthwise conv on the token grid between
+    fc1 and GELU (mixres_vit.py:152-178; MRML builds it without the conv,
+    mrml.py:53)."""
 
     hidden_dim: int
     out_dim: int
     drop: float = 0.0
+    dw_conv: bool = True
 
     @nn.compact
     def __call__(self, x, h, w, deterministic: bool = True):
         b, n, c = x.shape
         x = nn.Dense(self.hidden_dim, name="fc1")(x)
-        xg = x.reshape(b, h, w, self.hidden_dim)
-        xg = nn.Conv(
-            self.hidden_dim, (3, 3), padding=((1, 1), (1, 1)),
-            feature_group_count=self.hidden_dim, name="dwconv",
-        )(xg)
-        x = xg.reshape(b, n, self.hidden_dim)
+        if self.dw_conv:
+            xg = x.reshape(b, h, w, self.hidden_dim)
+            xg = nn.Conv(
+                self.hidden_dim, (3, 3), padding=((1, 1), (1, 1)),
+                feature_group_count=self.hidden_dim, name="dwconv",
+            )(xg)
+            x = xg.reshape(b, n, self.hidden_dim)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
         x = nn.Dense(self.out_dim, name="fc2")(x)
@@ -121,6 +124,7 @@ class ViTBlock(nn.Module):
     drop: float = 0.0
     drop_path: float = 0.0
     layer_scale: float = 0.0
+    dw_conv: bool = True
 
     @nn.compact
     def __call__(self, x, h, w, deterministic: bool = True):
@@ -141,12 +145,12 @@ class ViTBlock(nn.Module):
             g1 = self.param("gamma1", nn.initializers.constant(self.layer_scale), (c,))
             g2 = self.param("gamma2", nn.initializers.constant(self.layer_scale), (c,))
             x = x + dp(g1 * y, deterministic)
-            ffn = DWConvFFN(self.mlp_dim, c, self.drop, name="mlp")(
+            ffn = DWConvFFN(self.mlp_dim, c, self.drop, self.dw_conv, name="mlp")(
                 nn.LayerNorm(name="norm2")(x), h, w, deterministic)
             x = x + dp(g2 * ffn, deterministic)
         else:
             x = x + dp(y, deterministic)
-            ffn = DWConvFFN(self.mlp_dim, c, self.drop, name="mlp")(
+            ffn = DWConvFFN(self.mlp_dim, c, self.drop, self.dw_conv, name="mlp")(
                 nn.LayerNorm(name="norm2")(x), h, w, deterministic)
             x = x + dp(ffn, deterministic)
         return x

@@ -1,0 +1,207 @@
+"""MixRes MetaLoss (MRML) family — the earlier cascade iteration where token
+splitting is driven by a learned per-token "meta loss" (predicted future
+error) instead of decoder disagreement.
+
+Rebuild of reference mask2former/modeling/backbone/mrml.py (global-attention
+variant; the cluster-attention variant mrml_neighbour.py differs only in the
+block type) and the MaskFormerML meta-arch's metaloss supervision
+(maskformer_model_ml.py:424-477): L1 between the predicted per-token meta
+loss and the actual downstream error at the token's patch.
+
+Same static scale-segment layout as models/mixres.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+from .layers import Mlp, position_embedding_sine
+from .mixres import (
+    MixResLayer,
+    OverlapPatchEmbedding,
+    ViTBlock,
+    get_2dpos_of_curr_ps_in_min_ps,
+)
+
+
+class MixResMetaLoss(nn.Module):
+    """Single backbone with internal metaloss-driven splitting (mrml.py:200-440).
+
+    Returns the point-cloud outs dict + metaloss{l} predictions and their
+    positions for supervision.
+    """
+
+    n_scales: int = 4
+    patch_sizes: Sequence[int] = (32, 16, 8, 4)
+    embed_dims: Sequence[int] = (512, 256, 128, 64)
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (32, 16, 8, 4)
+    mlp_ratio: float = 4.0
+    split_ratio: int = 4
+    upscale_ratio: float = 0.25
+    cluster_size: int = 8
+    nbhd_size: int = 48
+    use_cluster_attention: bool = False  # mrml_neighbour variant
+
+    @nn.compact
+    def __call__(self, im, train: bool = False) -> Dict:
+        b, H, W, _ = im.shape
+        min_ps = self.patch_sizes[self.n_scales - 1]
+        min_patched = (H // min_ps, W // min_ps)
+
+        ps = self.patch_sizes[0]
+        x = OverlapPatchEmbedding(ps, self.embed_dims[0], name="patch_embed")(im, train)
+        pos_np = get_2dpos_of_curr_ps_in_min_ps(H, W, ps, min_ps, 0)
+        pos = jnp.broadcast_to(jnp.asarray(pos_np)[None], (b, pos_np.shape[0], 3))
+        x = x + position_embedding_sine(pos[:, :, 1:], self.embed_dims[0] // 2)
+        tokens_per_scale: Tuple[int, ...] = (pos_np.shape[0],)
+
+        outs: Dict = {"min_spatial_shape": min_patched}
+        for l in range(self.n_scales):
+            out_idx = self.n_scales - l + 1
+            dim = self.embed_dims[l]
+            if self.use_cluster_attention:
+                pos, x = MixResLayer(
+                    dim=dim, cluster_size=self.cluster_size,
+                    nbhd_size=self.nbhd_size, depth=self.depths[l],
+                    num_heads=self.num_heads[l], mlp_ratio=self.mlp_ratio,
+                    name=f"layers_{l}",
+                )(pos, x, min_patched[0], min_patched[1], deterministic=not train)
+            else:
+                hh = H // self.patch_sizes[min(l, self.n_scales - 1)]
+                ww = W // self.patch_sizes[min(l, self.n_scales - 1)]
+                for j in range(self.depths[l]):
+                    # MRML blocks have no DWConv (tokens are mixed-scale after
+                    # the first split; mrml.py:223-225 calls blocks w/o h, w)
+                    x = ViTBlock(
+                        dim, self.num_heads[l], int(dim * self.mlp_ratio),
+                        dw_conv=False, name=f"layers_{l}_blocks_{j}",
+                    )(x, hh, ww, deterministic=not train)
+
+            outs[f"res{out_idx}_spatial_shape"] = (
+                H // self.patch_sizes[l], W // self.patch_sizes[l]
+            )
+
+            if l < self.n_scales - 1:
+                # split the newest (last) scale segment by predicted meta loss
+                n_curr = tokens_per_scale[-1]
+                n_old = sum(tokens_per_scale[:-1])
+                feat_old, pos_old = x[:, :n_old], pos[:, :n_old]
+                feat_c, pos_c = x[:, n_old:], pos[:, n_old:]
+
+                pred_ml = Mlp(dim, 1, name=f"metalosses_{l}")(
+                    jax.lax.stop_gradient(feat_c)
+                )[..., 0]                                     # (b, n_curr)
+                outs[f"metaloss{l}"] = pred_ml
+                outs[f"metaloss{l}_pos"] = pos_c[:, :, 1:]
+
+                k_split = max(1, int(n_curr * self.upscale_ratio))
+                _, top = jax.lax.top_k(pred_ml, k_split)
+                _, bot = jax.lax.top_k(-pred_ml, n_curr - k_split)
+                keep_f = jnp.take_along_axis(feat_c, bot[..., None], axis=1)
+                keep_p = jnp.take_along_axis(pos_c, bot[..., None], axis=1)
+                split_f = jnp.take_along_axis(feat_c, top[..., None], axis=1)
+                split_p = jnp.take_along_axis(pos_c, top[..., None], axis=1)
+
+                # learned 4-way split: Linear(dim -> 4*dim) + rel/scale embeds
+                # (mrml.py:344-351)
+                sf = nn.Dense(self.split_ratio * dim, name=f"splits_{l}")(split_f)
+                sf = sf.reshape(b, k_split, self.split_ratio, dim)
+                rel_emb = self.param(
+                    f"rel_pos_embs_{l}", nn.initializers.normal(0.02),
+                    (1, 1, self.split_ratio, dim),
+                )
+                scale_emb = self.param(
+                    f"scale_embs_{l}", nn.initializers.normal(0.02),
+                    (1, 1, 1, dim),
+                )
+                sf = (sf + rel_emb + scale_emb).reshape(b, k_split * 4, dim)
+
+                new_scale = l + 1
+                r = 2 ** (self.n_scales - new_scale - 1)
+                xx, yy = split_p[:, :, 1], split_p[:, :, 2]
+                children = jnp.stack(
+                    [
+                        jnp.stack([xx, yy], -1),
+                        jnp.stack([xx + r, yy], -1),
+                        jnp.stack([xx, yy + r], -1),
+                        jnp.stack([xx + r, yy + r], -1),
+                    ],
+                    axis=2,
+                ).reshape(b, k_split * 4, 2)
+                sc = jnp.full((b, k_split * 4, 1), float(new_scale))
+                sp = jnp.concatenate([sc, children], axis=2)
+
+                # high-res image features at the children (patched conv embed,
+                # mrml.py:373-381)
+                nps = self.patch_sizes[new_scale]
+                patched = nn.Conv(
+                    dim, (nps, nps), strides=(nps, nps),
+                    name=f"high_res_patchers_{l}",
+                )(im)
+                hw = patched.shape[1:3]
+                cx = (children[..., 0] / (2 ** (self.n_scales - new_scale - 1))).astype(jnp.int32)
+                cy = (children[..., 1] / (2 ** (self.n_scales - new_scale - 1))).astype(jnp.int32)
+                flatp = patched.reshape(b, hw[0] * hw[1], dim)
+                idx = jnp.clip(cy, 0, hw[0] - 1) * hw[1] + jnp.clip(cx, 0, hw[1] - 1)
+                sf = sf + jnp.take_along_axis(flatp, idx[..., None], axis=1)
+
+                x = jnp.concatenate([feat_old, keep_f, sf], axis=1)
+                pos = jnp.concatenate([pos_old, keep_p, sp], axis=1)
+                tokens_per_scale = tokens_per_scale[:-1] + (
+                    n_curr - k_split, k_split * 4,
+                )
+                # channel downsampling between scales (mrml.py downsamplers)
+                x = nn.Dense(self.embed_dims[l + 1], name=f"downsamplers_{l}")(
+                    nn.LayerNorm(name=f"downsamplers_norm_{l}")(x)
+                )
+
+        # emit per-scale outputs from static segments
+        start = 0
+        for s, cnt in enumerate(tokens_per_scale):
+            out_idx = self.n_scales - s + 1
+            seg = slice(start, start + cnt)
+            div = 2 ** (self.n_scales - s - 1)
+            outs[f"res{out_idx}"] = x[:, seg]
+            outs[f"res{out_idx}_pos"] = jnp.floor(pos[:, seg, 1:] / div)
+            outs[f"res{out_idx}_scale"] = pos[:, seg, 0]
+            start += cnt
+        return outs
+
+
+def metaloss_l1(
+    pred_metaloss: jnp.ndarray,
+    pos_xy: jnp.ndarray,
+    error_map: jnp.ndarray,
+    patch_size_in_min_units: int,
+) -> jnp.ndarray:
+    """L1 between the predicted per-token meta loss and the actual error rate
+    in the token's patch (maskformer_model_ml.py:424-477).
+
+    pred_metaloss - (b, n); pos_xy - (b, n, 2) min-patch coords
+    error_map - (b, Hm, Wm) per-min-patch error rates in [0, 1]
+    """
+    b, Hm, Wm = error_map.shape
+    ii = jnp.cumsum(jnp.cumsum(error_map, axis=1), axis=2)
+    ii = jnp.pad(ii, ((0, 0), (1, 0), (1, 0)))
+    p = patch_size_in_min_units
+    x0 = jnp.clip(pos_xy[..., 0].astype(jnp.int32), 0, Wm)
+    y0 = jnp.clip(pos_xy[..., 1].astype(jnp.int32), 0, Hm)
+    x1 = jnp.clip(x0 + p, 0, Wm)
+    y1 = jnp.clip(y0 + p, 0, Hm)
+
+    def box(ii_b, x0b, y0b, x1b, y1b):
+        return ii_b[y1b, x1b] - ii_b[y0b, x1b] - ii_b[y1b, x0b] + ii_b[y0b, x0b]
+
+    sums = jax.vmap(
+        lambda ii_b, a, c, d, e: jax.vmap(box, (None, 0, 0, 0, 0))(ii_b, a, c, d, e)
+    )(ii, x0, y0, x1, y1)
+    area = jnp.maximum((x1 - x0) * (y1 - y0), 1).astype(jnp.float32)
+    actual = sums / area
+    return jnp.mean(jnp.abs(pred_metaloss - jax.lax.stop_gradient(actual)))
