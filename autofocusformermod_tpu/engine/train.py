@@ -24,9 +24,9 @@ from ..data import (
     eval_loader,
     register_all_builtin,
 )
-from ..evaluation.sem_seg_evaluation import SemSegEvaluator
+from ..evaluation import InstanceSegEvaluator, PanopticEvaluator, SemSegEvaluator
 from ..losses import set_criterion  # noqa: F401  (re-exported for users)
-from ..models import maskformer_from_config, upsample_masks
+from ..models import build_model, upsample_masks
 from ..models.inference import semantic_inference, sem_seg_postprocess
 from ..parallel import TrainState, make_mesh, make_train_step, replicate, shard_batch
 from .checkpoint import Checkpointer
@@ -43,7 +43,7 @@ class Trainer:
         self.process_count = jax.process_count()
         self.is_main = self.process_index == 0
 
-        self.model = maskformer_from_config(cfg)
+        self.model = build_model(cfg)
         self.mesh = make_mesh()
 
         # init params on a dummy crop-shaped batch
@@ -112,9 +112,7 @@ class Trainer:
         dataset = []
         for name in cfg.DATASETS.TRAIN:
             dataset += DatasetCatalog.get(name)
-        mapper = MaskFormerSemanticDatasetMapper.from_config(
-            cfg, is_train=True, seed=cfg.SEED + self.process_index
-        )
+        mapper = self.build_mapper(is_train=True)
         return TrainLoader(
             dataset,
             mapper,
@@ -124,6 +122,51 @@ class Trainer:
             process_index=self.process_index,
             process_count=self.process_count,
         )
+
+    def build_mapper(self, is_train: bool):
+        """Mapper dispatch by INPUT.DATASET_MAPPER_NAME (reference
+        Trainer.build_train_loader, train_net.py:214-244)."""
+        cfg = self.cfg
+        name = cfg.INPUT.DATASET_MAPPER_NAME
+        seed = cfg.SEED + self.process_index
+        if name == "mask_former_semantic" or name.startswith("coco_semantic"):
+            return MaskFormerSemanticDatasetMapper.from_config(
+                cfg, is_train=is_train, seed=seed
+            )
+        from ..data import (
+            COCOInstanceLSJDatasetMapper,
+            MaskFormerInstanceDatasetMapper,
+            MaskFormerPanopticDatasetMapper,
+        )
+
+        if name == "mask_former_panoptic":
+            return MaskFormerPanopticDatasetMapper.from_config(
+                cfg, is_train=is_train, seed=seed
+            )
+        if name == "mask_former_instance":
+            return MaskFormerInstanceDatasetMapper(
+                is_train=is_train,
+                min_size_train=cfg.INPUT.MIN_SIZE_TRAIN,
+                max_size_train=cfg.INPUT.MAX_SIZE_TRAIN,
+                min_size_test=cfg.INPUT.MIN_SIZE_TEST,
+                max_size_test=cfg.INPUT.MAX_SIZE_TEST,
+                crop_enabled=cfg.INPUT.CROP.ENABLED,
+                crop_size=cfg.INPUT.CROP.SIZE,
+                color_aug_ssd=cfg.INPUT.COLOR_AUG_SSD,
+                size_divisibility=max(cfg.INPUT.SIZE_DIVISIBILITY, 0),
+                max_gt=cfg.TPU.MAX_GT_INSTANCES,
+                seed=seed,
+            )
+        if name in ("coco_instance_lsj", "coco_panoptic_lsj"):
+            return COCOInstanceLSJDatasetMapper(
+                is_train=is_train,
+                image_size=cfg.INPUT.IMAGE_SIZE,
+                min_scale=cfg.INPUT.MIN_SCALE,
+                max_scale=cfg.INPUT.MAX_SCALE,
+                max_gt=cfg.TPU.MAX_GT_INSTANCES,
+                seed=seed,
+            )
+        raise ValueError(f"unknown mapper: {name}")
 
     def train(self) -> None:
         cfg = self.cfg
@@ -178,16 +221,130 @@ class Trainer:
 
     # ---------------------------------------------------------------- eval
     def test(self) -> Dict[str, Dict[str, float]]:
+        """Evaluator dispatch by metadata evaluator_type (the reference's
+        Trainer.build_evaluator, train_net.py:108-212)."""
         cfg = self.cfg
         results = {}
         for name in cfg.DATASETS.TEST:
-            results[name] = self._eval_sem_seg(name)
+            etype = MetadataCatalog.get(name).get("evaluator_type", "sem_seg")
+            if "panoptic" in etype:
+                results[name] = self._eval_panoptic(name)
+            elif "instance" in etype:
+                results[name] = self._eval_instance(name)
+            else:
+                results[name] = self._eval_sem_seg(name)
             if self.is_main:
                 print(f"[eval {name}] " + ", ".join(
                     f"{k}={v:.2f}" for k, v in results[name].items()
                     if not k.startswith("IoU-")
                 ))
         return results
+
+    def _predict_image(self, variables, img: np.ndarray):
+        """Pad to divisibility, run the model, return (logits, masks at
+        image resolution)."""
+        import cv2  # noqa: F401 - parity with eval paths using cv2
+
+        div = self.cfg.MODEL.MASK_FORMER.SIZE_DIVISIBILITY
+        h, w = img.shape[:2]
+        ph = -(-h // div) * div
+        pw = -(-w // div) * div
+        img_p = np.pad(img, ((0, ph - h), (0, pw - w), (0, 0)))
+
+        @jax.jit
+        def predict(variables, image):
+            out = self.model.apply(variables, image[None], train=False)
+            hh, ww = image.shape[:2]
+            masks = upsample_masks(out["pred_masks"], (hh, ww))[0]
+            return out["pred_logits"][0], masks
+
+        logits, masks = predict(variables, jnp.asarray(img_p))
+        return logits, masks[:, :h, :w]
+
+    def _eval_panoptic(self, dataset_name: str) -> Dict[str, float]:
+        from ..data.mapper_panoptic_instance import MaskFormerPanopticDatasetMapper
+        from ..models.inference import panoptic_inference
+
+        cfg = self.cfg
+        meta = MetadataCatalog.get(dataset_name)
+        nc = cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES
+        thing_ids = set(meta.get("thing_dataset_id_to_contiguous_id", {}).values())
+        evaluator = PanopticEvaluator(thing_ids, nc)
+        mapper = MaskFormerPanopticDatasetMapper.from_config(cfg, is_train=False)
+        variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        for sample in eval_loader(
+            DatasetCatalog.get(dataset_name), mapper,
+            process_index=self.process_index, process_count=self.process_count,
+        ):
+            logits, masks = self._predict_image(variables, sample["image"])
+            pan, info = panoptic_inference(
+                logits, masks, thing_ids, nc,
+                cfg.MODEL.MASK_FORMER.TEST.OBJECT_MASK_THRESHOLD,
+                cfg.MODEL.MASK_FORMER.TEST.OVERLAP_THRESHOLD,
+            )
+            evaluator.process(pan, info, sample["pan_seg"], sample["segments_info"])
+        return evaluator.evaluate()
+
+    def _eval_instance(self, dataset_name: str) -> Dict[str, float]:
+        from ..data.mapper_panoptic_instance import (
+            MaskFormerInstanceDatasetMapper,
+            polygons_to_mask,
+            rle_decode,
+        )
+        from ..models.inference import instance_inference
+
+        cfg = self.cfg
+        meta = MetadataCatalog.get(dataset_name)
+        nc = cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES
+        thing_ids = meta.get("thing_dataset_id_to_contiguous_id", {})
+        is_thing = np.zeros((nc,), bool)
+        for t in thing_ids.values():
+            if 0 <= t < nc:
+                is_thing[t] = True
+        evaluator = InstanceSegEvaluator(nc)
+        mapper = MaskFormerInstanceDatasetMapper(is_train=False)
+        variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        dataset = DatasetCatalog.get(dataset_name)
+        for d, sample in zip(
+            dataset[self.process_index :: self.process_count],
+            eval_loader(dataset, mapper,
+                        process_index=self.process_index,
+                        process_count=self.process_count),
+        ):
+            logits, masks = self._predict_image(variables, sample["image"])
+            inst = instance_inference(
+                logits, masks, jnp.asarray(is_thing), nc,
+                topk=cfg.TEST.DETECTIONS_PER_IMAGE,
+                panoptic_on=cfg.MODEL.MASK_FORMER.TEST.PANOPTIC_ON,
+            )
+            import cv2
+
+            oh, ow = d.get("height"), d.get("width")
+            pm = np.stack([
+                cv2.resize(m.astype(np.uint8), (ow, oh),
+                           interpolation=cv2.INTER_NEAREST).astype(bool)
+                for m in np.asarray(inst["masks"])
+            ])
+            gl, gm = [], []
+            for a in d.get("annotations", []):
+                if a.get("iscrowd", 0):
+                    continue
+                seg = a.get("segmentation")
+                if isinstance(seg, list):
+                    gm.append(polygons_to_mask(seg, oh, ow).astype(bool))
+                elif isinstance(seg, dict):
+                    gm.append(rle_decode(seg).astype(bool))
+                else:
+                    continue
+                gl.append(a["category_id"])
+            if not gl:
+                continue
+            evaluator.process(
+                d.get("image_id", d["file_name"]),
+                pm, np.asarray(inst["labels"]), np.asarray(inst["scores"]),
+                np.stack(gm), np.asarray(gl),
+            )
+        return evaluator.evaluate()
 
     def _eval_sem_seg(self, dataset_name: str) -> Dict[str, float]:
         cfg = self.cfg

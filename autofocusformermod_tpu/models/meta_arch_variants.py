@@ -1,0 +1,141 @@
+"""Meta-architecture variants beyond MaskFormer/MaskFiner.
+
+- MaskFormerSwin (reference maskformer_model_swin.py): MaskFormer with the
+  grid Swin backbone + grid deformable pixel decoder; the shared
+  transformer decoder consumes the grid as an on-grid point cloud.
+- MaskFinerOracleTeacher (reference maskfiner_oracle_teacher_model.py): the
+  MaskFiner cascade where the inter-stage upsampling mask is replaced by the
+  GT-edge oracle with probability ORACLE_TEACHER_RATIO during training
+  (:252-258) and the predicted masks are supervised against the oracle with
+  MSE (:260,286 + criterion_mixed_oracle.py:300-344).  The Oracle (always-
+  oracle) and BB/SW backbone variants are the ratio=1.0 / backbone-swap
+  configurations of the same module.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .maskfiner import MaskPredictor, maskfiner_from_config
+from .maskformer import MaskFormer, MaskFormerHead
+from .oracle import gt_edge_map, mix_teacher_mask, oracle_upsampling_mask
+from .pixel_decoder_grid import MSDeformAttnPixelDecoderGrid
+from .swin import swin_from_config
+from .transformer_decoder import (
+    MultiScaleMaskedTransformerDecoder,
+    transformer_decoder_from_config,
+)
+
+
+class GridHead(nn.Module):
+    """MaskFormerHead over the grid pixel decoder (same predictor)."""
+
+    pixel_decoder: MSDeformAttnPixelDecoderGrid
+    predictor: MultiScaleMaskedTransformerDecoder
+
+    @nn.compact
+    def __call__(self, features: Dict, deterministic: bool = True) -> Dict:
+        mask_features, mf_pos, _, ms_feats, ms_poss = self.pixel_decoder(
+            features, deterministic
+        )
+        mask_size = features["res2_spatial_shape"]
+        return self.predictor(
+            ms_feats, ms_poss, mask_features, mf_pos, mask_size, deterministic
+        )
+
+
+def maskformer_swin_from_config(cfg) -> MaskFormer:
+    """MaskFormerSwin: Swin + grid pixel decoder + shared mask decoder."""
+    backbone = swin_from_config(cfg)
+    pixel_decoder = MSDeformAttnPixelDecoderGrid(
+        conv_dim=cfg.MODEL.SEM_SEG_HEAD.CONVS_DIM,
+        mask_dim=cfg.MODEL.SEM_SEG_HEAD.MASK_DIM,
+        transformer_nheads=cfg.MODEL.MASK_FORMER.NHEADS,
+        transformer_enc_layers=cfg.MODEL.SEM_SEG_HEAD.TRANSFORMER_ENC_LAYERS,
+    )
+    predictor = transformer_decoder_from_config(cfg, cfg.MODEL.SEM_SEG_HEAD.CONVS_DIM)
+    head = GridHead(pixel_decoder=pixel_decoder, predictor=predictor)
+    return MaskFormer(
+        backbone=backbone,
+        head=head,
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+    )
+
+
+class MaskFinerOracleTeacher(nn.Module):
+    """MaskFiner cascade with oracle-teacher mixing of the inter-stage
+    upsampling masks and pred/oracle pairs exposed for MSE supervision."""
+
+    mask_predictors: Sequence[MaskPredictor]
+    patch_sizes: Sequence[int]
+    min_patch_size: int
+    oracle_teacher_ratio: float = 0.5
+    ignore_label: int = 255
+    pixel_mean: Sequence[float] = (123.675, 116.28, 103.53)
+    pixel_std: Sequence[float] = (58.395, 57.12, 57.375)
+
+    @nn.compact
+    def __call__(self, images, sem_seg_gt=None, train: bool = False) -> Dict:
+        x = (images - jnp.asarray(self.pixel_mean, images.dtype)) / jnp.asarray(
+            self.pixel_std, images.dtype
+        )
+        edges = (
+            gt_edge_map(sem_seg_gt, self.ignore_label)
+            if sem_seg_gt is not None
+            else None
+        )
+        features = features_pos = upsampling_mask = None
+        tokens_per_scale = None
+        aux = ()
+        preds, oracles = [], []
+        outs = None
+        for l_idx, predictor in enumerate(self.mask_predictors):
+            outs, features, features_pos, upsampling_mask, seg_sizes, _ = predictor(
+                x, features, features_pos, upsampling_mask, tokens_per_scale, train
+            )
+            tokens_per_scale = seg_sizes
+            aux = aux + tuple(outs["aux_outputs"])
+            if l_idx < len(self.mask_predictors) - 1 and edges is not None:
+                oracle = oracle_upsampling_mask(
+                    edges, features_pos[:, :, 1:], features_pos[:, :, 0],
+                    self.patch_sizes, self.min_patch_size,
+                )
+                preds.append(upsampling_mask)
+                oracles.append(oracle)
+                if train and self.oracle_teacher_ratio > 0:
+                    key = self.make_rng("oracle")
+                    upsampling_mask = mix_teacher_mask(
+                        key, upsampling_mask, oracle, self.oracle_teacher_ratio
+                    )
+        return {
+            "pred_logits": outs["pred_logits"],
+            "pred_masks": outs["pred_masks"],
+            "aux_outputs": aux,
+            "upsampling_preds": tuple(preds),
+            "upsampling_oracles": tuple(oracles),
+        }
+
+
+def maskfiner_oracle_teacher_from_config(cfg) -> MaskFinerOracleTeacher:
+    base = maskfiner_from_config(cfg)
+    n_scales = cfg.MODEL.MASK_FINER.NUM_RESOLUTION_SCALES
+    return MaskFinerOracleTeacher(
+        mask_predictors=base.mask_predictors,
+        patch_sizes=tuple(cfg.MODEL.MR.PATCH_SIZES),
+        min_patch_size=cfg.MODEL.MR.PATCH_SIZES[n_scales - 1],
+        oracle_teacher_ratio=cfg.MODEL.MASK_FINER.ORACLE_TEACHER_RATIO,
+        ignore_label=cfg.MODEL.MR_SEM_SEG_HEAD.IGNORE_VALUE,
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+    )
+
+
+def maskfiner_oracle_from_config(cfg) -> MaskFinerOracleTeacher:
+    """MaskFinerOracle: always use the oracle mask (teacher ratio 1)."""
+    m = maskfiner_oracle_teacher_from_config(cfg)
+    return m.replace(oracle_teacher_ratio=1.0) if hasattr(m, "replace") else m

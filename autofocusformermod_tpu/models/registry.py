@@ -61,6 +61,26 @@ def _register_builtins():
     META_ARCH_REGISTRY.register(maskformer_from_config, name="MaskFormer")
     META_ARCH_REGISTRY.register(maskfiner_from_config, name="MaskFiner")
 
+    from .meta_arch_variants import (
+        maskfiner_oracle_from_config,
+        maskfiner_oracle_teacher_from_config,
+        maskformer_swin_from_config,
+    )
+    from .mrml import MixResMetaLoss
+    from .updown import UpDownBackbone
+
+    META_ARCH_REGISTRY.register(maskformer_swin_from_config, name="MaskFormerSwin")
+    META_ARCH_REGISTRY.register(
+        maskfiner_oracle_teacher_from_config, name="MaskFinerOracleTeacher"
+    )
+    META_ARCH_REGISTRY.register(maskfiner_oracle_from_config, name="MaskFinerOracle")
+    BACKBONE_REGISTRY.register(
+        lambda cfg: MixResMetaLoss(), name="MixResMetaLoss"
+    )
+    BACKBONE_REGISTRY.register(
+        lambda cfg: UpDownBackbone(), name="UpDownBackbone"
+    )
+
 
 _register_builtins()
 
