@@ -1,8 +1,9 @@
 """Parity test for the experimental msdetrpc Pallas kernel (TPU only)."""
-import os, sys
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
 import pytest
-import numpy as np, jax, jax.numpy as jnp
 
 
 def _tpu():
@@ -16,29 +17,30 @@ def _tpu():
 def test_msdetrpc_pallas_parity():
     from autofocusformermod_tpu.ops.clusten import msdetrpc
     from autofocusformermod_tpu.ops.pallas.msdetrpc_kernel import msdetrpc_pallas
+
     rng = np.random.default_rng(0)
     bh, n, L, kpts, kk, c_ = 4, 300, 3, 4, 4, 32
     sizes = [64, 256, 1024]
     offs = np.cumsum([0] + sizes)
-    ntot = offs[-1]
+    ntot = int(offs[-1])
     m = kpts * L
-    # SFC-local indices: per level, indices near a random center per query
     nn_idx = np.zeros((bh, n, m, kk), np.int32)
     for j in range(L):
-    centers = rng.integers(0, sizes[j], (bh, n, 1, 1))
-    jitter = rng.integers(-8, 9, (bh, n, kpts, kk))
-    vals = np.clip(centers + jitter, 0, sizes[j]-1) + offs[j]
-    # slots for level j: s = ki*L + j
-    for ki in range(kpts):
-        nn_idx[:, :, ki*L + j, :] = vals[:, :, ki, :]
+        centers = rng.integers(0, sizes[j], (bh, n, 1, 1))
+        jitter = rng.integers(-8, 9, (bh, n, kpts, kk))
+        vals = np.clip(centers + jitter, 0, sizes[j] - 1) + offs[j]
+        for ki in range(kpts):
+            nn_idx[:, :, ki * L + j, :] = vals[:, :, ki, :]
     nn_w = rng.standard_normal((bh, n, m, kk)).astype(np.float32)
     attn = rng.standard_normal((bh, n, m)).astype(np.float32)
     val = rng.standard_normal((bh, ntot, c_)).astype(np.float32)
 
-    ref = np.asarray(msdetrpc(jnp.asarray(nn_idx), jnp.asarray(nn_w), jnp.asarray(attn), jnp.asarray(val)))
-    out = np.asarray(msdetrpc_pallas(jnp.asarray(nn_idx), jnp.asarray(nn_w), jnp.asarray(attn), jnp.asarray(val), L))
-    err = np.abs(out - ref).max()
-    print("max abs err:", err)
-    assert err < 2e-3, err
-    print("msdetrpc pallas parity OK")
-
+    ref = np.asarray(
+        msdetrpc(jnp.asarray(nn_idx), jnp.asarray(nn_w), jnp.asarray(attn),
+                 jnp.asarray(val))
+    )
+    out = np.asarray(
+        msdetrpc_pallas(jnp.asarray(nn_idx), jnp.asarray(nn_w),
+                        jnp.asarray(attn), jnp.asarray(val), L)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
