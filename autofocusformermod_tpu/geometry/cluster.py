@@ -182,3 +182,29 @@ def space_filling_cluster(
         member_idx[n:] = 0
     member_idx = jnp.broadcast_to(jnp.asarray(member_idx), (b, k * m)).reshape(b, k, m)
     return pos_sorted, cluster_mean_pos, member_idx, cluster_mask, pos_ranking[..., None]
+
+
+def nbhd_from_cluster_ids(pos, nc, span: int, n: int, query_pos=None):
+    """Reconstruct fixed-width neighborhoods from neighbor-cluster ids.
+
+    Tokens are sorted so cluster c occupies rows [c*span, (c+1)*span); the
+    reference materializes the same spans by gathering an arange table
+    (aff.py:478-481).  Entries >= n are padding (mask = 0).
+    pos: (b, n, 2); nc: (b, nq, nnc); query_pos: neighborhood centers
+    (defaults to pos rows).  Returns (member_idx int32, cluster_mask|None,
+    rel_feat5)."""
+    from ..models.layers import rel_pos_features
+
+    b, nq, nnc = nc.shape
+    member = (
+        nc[..., None] * span + jnp.arange(span, dtype=jnp.int32)
+    ).reshape(b, nq, nnc * span)
+    valid = member < n
+    member = jnp.where(valid, member, 0)
+    cluster_mask = None if (n % span == 0) else valid.astype(jnp.float32)
+    pos_nb = jnp.take_along_axis(pos, member.reshape(b, -1, 1), axis=1).reshape(
+        b, nq, nnc * span, 2
+    )
+    q = pos[:, :nq] if query_pos is None else query_pos
+    rel_feat5 = rel_pos_features(pos_nb - q[:, :, None, :])
+    return member, cluster_mask, rel_feat5

@@ -9,6 +9,19 @@ from .convnextv2 import ConvNeXtV2
 from .mixres import MixResViT, MixResNeighbour
 from .maskfiner import MaskFiner, MaskPredictor, maskfiner_from_config
 from .tta import SemanticSegmentorWithTTA
+from .mrml import MixResMetaLoss, metaloss_l1
+from .updown import UpDownBackbone
+from .oracle import (
+    gt_edge_map,
+    mix_teacher_mask,
+    oracle_upsampling_mask,
+    upsampling_mse_loss,
+)
+from .meta_arch_variants import (
+    MaskFinerOracleTeacher,
+    maskfiner_oracle_teacher_from_config,
+    maskformer_swin_from_config,
+)
 from .registry import (
     BACKBONE_REGISTRY,
     META_ARCH_REGISTRY,
@@ -46,6 +59,16 @@ __all__ = [
     "MaskPredictor",
     "maskfiner_from_config",
     "SemanticSegmentorWithTTA",
+    "MixResMetaLoss",
+    "metaloss_l1",
+    "UpDownBackbone",
+    "gt_edge_map",
+    "mix_teacher_mask",
+    "oracle_upsampling_mask",
+    "upsampling_mse_loss",
+    "MaskFinerOracleTeacher",
+    "maskfiner_oracle_teacher_from_config",
+    "maskformer_swin_from_config",
     "BACKBONE_REGISTRY",
     "META_ARCH_REGISTRY",
     "SEM_SEG_HEADS_REGISTRY",

@@ -42,44 +42,13 @@ def _gather_by_idx(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(x, idx[..., None], axis=1)
 
 
-def _nbhd_from_clusters(pos, nc, span: int, n: int):
-    """Reconstruct fixed-width neighborhoods from neighbor-cluster ids.
-
-    Tokens are sorted so cluster c occupies rows [c*span, (c+1)*span); the
-    reference materializes the same spans by gathering an arange table
-    (aff.py:478-481).  Entries >= n are padding (cluster_mask = 0).
-    pos: (b, n, 2); nc: (b, nq, nnc) -> (member_idx (b, nq, nnc*span) int32,
-    cluster_mask (b, nq, nnc*span) f32 or None, rel_feat5 (b, nq, nnc*span, 5)).
-    """
-    b, nq, nnc = nc.shape
-    member = (
-        nc[..., None] * span + jnp.arange(span, dtype=jnp.int32)
-    ).reshape(b, nq, nnc * span)
-    valid = member < n
-    member = jnp.where(valid, member, 0)
-    cluster_mask = None if (n % span == 0) else valid.astype(jnp.float32)
-    pos_nb = jnp.take_along_axis(pos, member.reshape(b, -1, 1), axis=1).reshape(
-        b, nq, nnc * span, 2
-    )
-    rel_feat5 = rel_pos_features(pos_nb - pos[:, :nq, None, :])
-    return member, cluster_mask, rel_feat5
+from ..geometry.cluster import nbhd_from_cluster_ids as _nbhd_from_clusters
 
 
 def _nbhd_from_clusters_at(pos, query_pos, nc, span: int, n: int):
-    """Same as _nbhd_from_clusters but with neighborhoods centered at
-    arbitrary query positions (the kept tokens after downsampling)."""
-    b, nq, nnc = nc.shape
-    member = (
-        nc[..., None] * span + jnp.arange(span, dtype=jnp.int32)
-    ).reshape(b, nq, nnc * span)
-    valid = member < n
-    member = jnp.where(valid, member, 0)
-    cluster_mask = None if (n % span == 0) else valid.astype(jnp.float32)
-    pos_nb = jnp.take_along_axis(pos, member.reshape(b, -1, 1), axis=1).reshape(
-        b, nq, nnc * span, 2
-    )
-    rel_feat5 = rel_pos_features(pos_nb - query_pos[:, :, None, :])
-    return member, cluster_mask, rel_feat5
+    """Neighborhoods centered at arbitrary query positions (the kept tokens
+    after downsampling)."""
+    return _nbhd_from_clusters(pos, nc, span, n, query_pos=query_pos)
 
 
 class ClusterAttention(nn.Module):
@@ -103,6 +72,9 @@ class ClusterAttention(nn.Module):
         """
         b, n, c = feat.shape
         h = self.num_heads
+        assert c % h == 0, (
+            f"dim {c} not divisible by num_heads {h} — check EMBED_DIM/NUM_HEADS"
+        )
         c_ = c // h
         scale = c_**-0.5
 

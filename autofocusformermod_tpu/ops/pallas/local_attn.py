@@ -30,8 +30,10 @@ Non-neighbor keys are excluded exactly (the reference's -100-masked *padding*
 slots simply don't exist in the mask formulation, and exp(-100) ~ 0 is the
 only numerical difference).
 
-Backward runs through the XLA mask-formulation composition via custom_vjp
-(same math; a fused backward kernel is future work).
+Backward runs through the XLA *gather* composition via custom_vjp —
+memory proportional to n x nbhd (the dense mask formulation would
+materialize (b, h, n, n): 8.6 GB at stage 1), with neighborhoods
+reconstructed from the cluster ids.  A fused backward kernel is future work.
 """
 
 from __future__ import annotations
@@ -243,11 +245,29 @@ def _fwd(q, k, v, pos, nc, w5, b5, blank_k, cluster_size):
     return out, (q, k, v, pos, nc, w5, b5, blank_k)
 
 
+def gather_composition(q, k, v, pos, nc, w5, b5, blank_k, cluster_size):
+    """Gather-based composition with identical semantics — O(n*nbhd) memory
+    (used for the VJP)."""
+    from ...geometry.cluster import nbhd_from_cluster_ids
+    from ...ops.dispatch import local_cluster_attention_reference
+
+    b, h, n, c_ = q.shape
+    member, mask, rel5 = nbhd_from_cluster_ids(pos, nc, cluster_size, n)
+    bias = (
+        jnp.einsum("bnmf,hf->bnmh", rel5, w5, precision=_PREC)
+        + b5[None, None, None, :]
+    )
+    blank_attn = jnp.einsum("bhnc,hc->bhn", q, blank_k, precision=_PREC)[..., None]
+    # exclude duplicate-cluster double counting: the reference neighborhoods
+    # are duplicate-free by construction (knn returns distinct clusters)
+    return local_cluster_attention_reference(q, k, v, member, bias, mask, blank_attn)
+
+
 def _bwd(cluster_size, res, grads):
     q, k, v, pos, nc, w5, b5, blank_k = res
 
     def f(q, k, v, w5, b5, blank_k):
-        return sfc_attention_reference(q, k, v, pos, nc, w5, b5, blank_k, cluster_size)
+        return gather_composition(q, k, v, pos, nc, w5, b5, blank_k, cluster_size)
 
     _, vjp = jax.vjp(f, q, k, v, w5, b5, blank_k)
     dq, dk, dv, dw5, db5, dblank_k = vjp(grads)

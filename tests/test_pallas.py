@@ -119,3 +119,53 @@ if __name__ == "__main__":
     if _tpu_available():
         test_pallas_kernel_matches_reference_on_tpu()
         print("pallas kernel == reference on TPU: OK")
+
+
+@pytest.mark.skipif(not _tpu_available(), reason="needs TPU")
+def test_fused_backward_matches_gather_composition():
+    """The custom VJP (gather composition, O(n*nbhd) memory) must match the
+    forward kernel's semantics — gradients of a quadratic loss agree."""
+    import jax
+    import jax.numpy as jnp
+
+    from autofocusformermod_tpu.ops.pallas.local_attn import (
+        gather_composition,
+        sfc_cluster_attention,
+    )
+
+    rng = np.random.default_rng(0)
+    b, h, n, c_, nnc, m = 2, 2, 512, 16, 6, 8
+    kc = n // m
+    q = jnp.asarray(rng.standard_normal((b, h, n, c_)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n, c_)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, c_)), jnp.float32)
+    base = rng.uniform(0, 64, (b, kc, 1, 2))
+    jit = rng.uniform(0, 4, (b, kc, m, 2))
+    pos = jnp.asarray(np.floor(base + jit).reshape(b, n, 2), jnp.float32)
+    nc = rng.integers(0, kc, (b, n, nnc))
+    nc[..., 0] = np.arange(n).reshape(1, n) // m
+    # duplicate-free rows (knn returns distinct clusters)
+    for bi in range(b):
+        for i in range(n):
+            row = nc[bi, i]
+            seen = set()
+            for t in range(nnc):
+                while row[t] in seen:
+                    row[t] = (row[t] + 1) % kc
+                seen.add(row[t])
+    nc = jnp.asarray(nc, jnp.int32)
+    w5 = jnp.asarray(rng.standard_normal((h, 5)) * 0.1, jnp.float32)
+    b5 = jnp.asarray(rng.standard_normal((h,)) * 0.1, jnp.float32)
+    bk = jnp.asarray(rng.standard_normal((h, c_)) * 0.5, jnp.float32)
+
+    def loss(fn):
+        def f(q, k, v, w5, b5, bk):
+            o, bp = fn(q, k, v, pos, nc, w5, b5, bk, m)
+            return jnp.sum(o**2) + jnp.sum(bp**2)
+
+        return jax.grad(f, argnums=(0, 1, 2, 3, 4, 5))(q, k, v, w5, b5, bk)
+
+    g1 = loss(sfc_cluster_attention)
+    g2 = loss(gather_composition)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-3)
