@@ -142,7 +142,12 @@ def register_all_builtin(root: str = "") -> None:
     root = root or os.environ.get("DETECTRON2_DATASETS", "datasets")
     register_all_ade20k(root)
     register_all_cityscapes_semantic(root)
-    from .datasets_coco import register_coco, register_cityscapes_panoptic
+    from .datasets_coco import (
+        register_cityscapes_panoptic,
+        register_coco,
+        register_coco_stuff_semseg,
+    )
 
     register_coco(root)
+    register_coco_stuff_semseg(root)
     register_cityscapes_panoptic(root)

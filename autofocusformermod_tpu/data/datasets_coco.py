@@ -141,6 +141,28 @@ def load_cityscapes_panoptic(image_dir: str, gt_json: str, gt_dir: str) -> List[
     return out
 
 
+def register_coco_stuff_semseg(root: str) -> None:
+    """COCO panoptic-derived semantic segmentation (the reference's
+    register_coco_stuff_semseg / COCOSemanticDatasetMapper targets), pairing
+    val/train images with panoptic_semseg_* pngs produced by
+    datasets/prepare_coco_semantic_annos_from_panoptic_annos.py."""
+    from .datasets import register_sem_seg
+
+    base = os.path.join(root, "coco")
+    for split in ["train2017", "val2017"]:
+        name = f"coco_2017_{split[:-4]}_panoptic_semseg"
+        try:
+            register_sem_seg(
+                name,
+                image_root=os.path.join(base, split),
+                gt_root=os.path.join(base, f"panoptic_semseg_{split}"),
+                classes=[str(i) for i in range(133)],
+                ignore_label=255,
+            )
+        except KeyError:
+            pass
+
+
 def register_cityscapes_panoptic(root: str) -> None:
     base = os.path.join(root, "cityscapes")
     for split in ["train", "val"]:

@@ -334,6 +334,10 @@ class MixResNeighbour(nn.Module):
     keep_old_scale: bool = True
     first_layer: bool = False
     do_upsample: bool = True
+    cross_attend_image: bool = False  # MixResNeighbourXAttn: newest-scale
+    # tokens cross-attend to their image patch features before the cluster
+    # layers (mixres_neighbour_xattn.py:317,366 does this per block; here it
+    # runs once after the split — same capability, simpler static structure)
 
     def _split_tokens(self, feat, pos, scores, k_split):
         """Top-k split selection with straight-through gradients
@@ -439,6 +443,18 @@ class MixResNeighbour(nn.Module):
             x = nn.LayerNorm(name="token_norm")(x)
             if x.shape[-1] != self.d_model:
                 x = nn.Dense(self.d_model, name="token_projection")(x)
+
+            if self.cross_attend_image:
+                from .transformer_decoder import MultiheadAttention
+
+                n_new = tokens_per_scale[-1]
+                new_tok = x[:, -n_new:]
+                img_feat = self._image_patch_features(pos[:, -n_new:, 1:], im)
+                new_tok = new_tok + MultiheadAttention(
+                    self.d_model, self.n_heads, name="x_attn"
+                )(new_tok, img_feat, img_feat)
+                new_tok = nn.LayerNorm(name="x_attn_norm")(new_tok)
+                x = jnp.concatenate([x[:, :-n_new], new_tok], axis=1)
         else:
             x = nn.LayerNorm(name="token_norm")(features)
             if features.shape[-1] != self.d_model:
@@ -475,6 +491,22 @@ class MixResNeighbour(nn.Module):
             start += cnt
         return outs, tokens_per_scale
 
+    def _image_patch_features(self, pos_xy, im):
+        """Patch-embedded image features at the given token positions
+        (queries for the XAttn variant)."""
+        b, n, _ = pos_xy.shape
+        ps = self.patch_sizes[self.scale]
+        patched = nn.Conv(
+            self.d_model, (ps, ps), strides=(ps, ps), name="x_attn_patcher"
+        )(im)
+        hw = patched.shape[1:3]
+        step = ps // self.min_patch_size
+        cx = jnp.clip((pos_xy[..., 0] / step).astype(jnp.int32), 0, hw[1] - 1)
+        cy = jnp.clip((pos_xy[..., 1] / step).astype(jnp.int32), 0, hw[0] - 1)
+        flat = patched.reshape(b, hw[0] * hw[1], self.d_model)
+        idx = cy * hw[1] + cx
+        return jnp.take_along_axis(flat, idx[..., None], axis=1)
+
     def _add_high_res_feat(self, tokens, pos_xy, im):
         """Project the raw image patch under each new token into its feature
         (add_high_res_feat, mixres_neighbour.py:785-806)."""
@@ -499,3 +531,4 @@ class MixResNeighbour(nn.Module):
         y = Mlp(self.in_channels, self.in_channels, name="high_res_mlp")(y)
         y = nn.LayerNorm(name="high_res_norm2")(y)
         return tokens + y
+

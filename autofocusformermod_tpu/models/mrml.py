@@ -8,6 +8,10 @@ block type) and the MaskFormerML meta-arch's metaloss supervision
 (maskformer_model_ml.py:424-477): L1 between the predicted per-token meta
 loss and the actual downstream error at the token's patch.
 
+MixResMeanAct (mrmean.py:429-440) is the ``mean_activation_scores=True``
+configuration: the split decision comes from mean absolute activation instead
+of the learned metaloss head.
+
 Same static scale-segment layout as models/mixres.py.
 """
 
@@ -48,6 +52,8 @@ class MixResMetaLoss(nn.Module):
     cluster_size: int = 8
     nbhd_size: int = 48
     use_cluster_attention: bool = False  # mrml_neighbour variant
+    mean_activation_scores: bool = False  # MixResMeanAct (mrmean.py:429-440):
+    # split decision from the mean absolute activation instead of a learned head
 
     @nn.compact
     def __call__(self, im, train: bool = False) -> Dict:
@@ -95,9 +101,14 @@ class MixResMetaLoss(nn.Module):
                 feat_old, pos_old = x[:, :n_old], pos[:, :n_old]
                 feat_c, pos_c = x[:, n_old:], pos[:, n_old:]
 
-                pred_ml = Mlp(dim, 1, name=f"metalosses_{l}")(
-                    jax.lax.stop_gradient(feat_c)
-                )[..., 0]                                     # (b, n_curr)
+                if self.mean_activation_scores:
+                    pred_ml = jnp.mean(
+                        jnp.abs(jax.lax.stop_gradient(feat_c)), axis=-1
+                    )                                         # (b, n_curr)
+                else:
+                    pred_ml = Mlp(dim, 1, name=f"metalosses_{l}")(
+                        jax.lax.stop_gradient(feat_c)
+                    )[..., 0]                                 # (b, n_curr)
                 outs[f"metaloss{l}"] = pred_ml
                 outs[f"metaloss{l}_pos"] = pos_c[:, :, 1:]
 

@@ -78,7 +78,20 @@ def _register_builtins():
         lambda cfg: MixResMetaLoss(), name="MixResMetaLoss"
     )
     BACKBONE_REGISTRY.register(
+        lambda cfg: MixResMetaLoss(mean_activation_scores=True),
+        name="MixResMeanAct",
+    )
+    BACKBONE_REGISTRY.register(
+        lambda cfg: MixResMetaLoss(use_cluster_attention=True),
+        name="MRMLNeighbour",
+    )
+    BACKBONE_REGISTRY.register(
         lambda cfg: UpDownBackbone(), name="UpDownBackbone"
+    )
+    from .mixres import MixResNeighbour
+
+    BACKBONE_REGISTRY.register(
+        lambda cfg: MixResNeighbour, name="MixResNeighbourXAttn"
     )
 
 

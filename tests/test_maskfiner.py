@@ -105,3 +105,31 @@ def test_cascade_grad_flows_through_split(cascade_out):
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     total = sum(float(jnp.abs(l).sum()) for l in leaves)
     assert total > 0
+
+
+def test_mixres_neighbour_xattn_variant():
+    from autofocusformermod_tpu.models.mixres import MixResNeighbour
+
+    bb = MixResNeighbour(
+        scale=1, n_scales=3, patch_sizes=(16, 8), min_patch_size=4,
+        d_model=32, n_layers=1, n_heads=2, nbhd_size=16, mlp_ratio=1.0,
+        in_channels=32, first_layer=False, cross_attend_image=True,
+    )
+    rng = np.random.default_rng(0)
+    im = jnp.asarray(rng.uniform(0, 255, (1, 64, 64, 3)), jnp.float32)
+    n0 = 16
+    feats = jnp.asarray(rng.standard_normal((1, n0, 32)), jnp.float32)
+    pos_np = np.zeros((1, n0, 3), np.float32)
+    g = np.stack(np.meshgrid(np.arange(4), np.arange(4), indexing="xy"), -1)
+    pos_np[0, :, 1:] = g.reshape(-1, 2) * 4
+    pos = jnp.asarray(pos_np)
+    mask = jnp.asarray(rng.standard_normal((1, n0)), jnp.float32)
+    v = bb.init(jax.random.PRNGKey(0), im, feats, pos, mask, (n0,), False)
+    out, tps = bb.apply(v, im, feats, pos, mask, (n0,), False)
+    assert tps == (16, 16)  # keep_old_scale: parents stay + 4*4 children
+    assert np.isfinite(np.asarray(out["res4"])).all()
+    # xattn params present
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(v["params"])
+    assert any("x_attn" in "/".join(k) for k in flat)
