@@ -55,6 +55,19 @@ def _register_builtins():
     SEM_SEG_HEADS_REGISTRY.register(
         pixel_decoder_from_config, name="MSDeformAttnPixelDecoder"
     )
+    from .maskfiner import MSDeformAttnPixelDecoderMaskFiner
+
+    SEM_SEG_HEADS_REGISTRY.register(
+        MSDeformAttnPixelDecoderMaskFiner, name="MSDeformAttnPixelDecoderMaskFiner"
+    )
+    SEM_SEG_HEADS_REGISTRY.register(
+        # projection-only variant: the reference's ..._proj.py is the same
+        # decoder with no transformer encoder layers
+        lambda **kw: MSDeformAttnPixelDecoderMaskFiner(
+            **{**kw, "transformer_enc_layers": 0}
+        ),
+        name="MSDeformAttnPixelDecoderMaskFinerProj",
+    )
     TRANSFORMER_DECODER_REGISTRY.register(
         transformer_decoder_from_config, name="MultiScaleMaskedTransformerDecoder"
     )

@@ -1,0 +1,114 @@
+"""Data pipeline tests: transforms, semantic mapper on synthetic files, loader."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from autofocusformermod_tpu.data import transforms as T
+from autofocusformermod_tpu.data.mapper_semantic import MaskFormerSemanticDatasetMapper
+from autofocusformermod_tpu.data.mapper_panoptic_instance import (
+    COCOInstanceLSJDatasetMapper,
+    rle_decode,
+)
+from autofocusformermod_tpu.data.loader import TrainLoader
+
+RNG = np.random.default_rng(0)
+
+
+def test_resize_shortest_edge():
+    img = RNG.integers(0, 255, (300, 500, 3), dtype=np.uint8)
+    seg = RNG.integers(0, 5, (300, 500)).astype(np.int32)
+    out, oseg = T.resize_shortest_edge(img, seg, 512, 2048)
+    assert min(out.shape[:2]) == 512
+    assert oseg.shape == out.shape[:2]
+    # max_size cap
+    out2, _ = T.resize_shortest_edge(img, seg, 2000, 2048)
+    assert max(out2.shape[:2]) <= 2048
+
+
+def test_random_crop_and_pad():
+    rng = np.random.default_rng(1)
+    img = RNG.integers(0, 255, (600, 700, 3), dtype=np.uint8)
+    seg = np.zeros((600, 700), np.int32)
+    seg[:10] = 255
+    c_img, c_seg = T.random_crop_with_category_constraint(rng, img, seg, (512, 512))
+    assert c_img.shape == (512, 512, 3)
+    p_img, p_seg = T.pad_to_size(c_img, c_seg, (512, 640))
+    assert p_img.shape == (512, 640, 3)
+    assert (p_seg[:, 512:] == 255).all()  # gt padded with ignore
+
+
+def test_color_aug_preserves_dtype_shape():
+    rng = np.random.default_rng(2)
+    img = RNG.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    out = T.color_aug_ssd(rng, img)
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_lsj_fixed_output():
+    rng = np.random.default_rng(3)
+    img = RNG.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+    out, seg = T.large_scale_jitter(rng, img, None, 256)
+    assert out.shape == (256, 256, 3)
+
+
+@pytest.fixture()
+def synthetic_semantic_dataset(tmp_path):
+    img_path = tmp_path / "img.jpg"
+    seg_path = tmp_path / "img.png"
+    Image.fromarray(
+        RNG.integers(0, 255, (300, 400, 3), dtype=np.uint8)
+    ).save(img_path)
+    seg = np.zeros((300, 400), np.uint8)
+    seg[:, 200:] = 3
+    seg[:20] = 255
+    Image.fromarray(seg).save(seg_path)
+    return [{"file_name": str(img_path), "sem_seg_file_name": str(seg_path)}]
+
+
+def test_semantic_mapper_train_targets(synthetic_semantic_dataset):
+    mapper = MaskFormerSemanticDatasetMapper(
+        is_train=True, min_size_train=(256,), crop_size=(256, 256),
+        size_divisibility=256, max_gt=10, color_aug_ssd=False,
+    )
+    out = mapper(synthetic_semantic_dataset[0])
+    assert out["image"].shape == (256, 256, 3)
+    assert out["masks"].shape == (10, 256, 256)
+    v = out["valid"]
+    assert v.sum() >= 1
+    # each valid mask matches its label's pixels exactly
+    for i in np.nonzero(v)[0]:
+        assert out["masks"][i].sum() > 0
+
+
+def test_semantic_mapper_eval(synthetic_semantic_dataset):
+    mapper = MaskFormerSemanticDatasetMapper(is_train=False, min_size_test=256)
+    out = mapper(synthetic_semantic_dataset[0])
+    assert "sem_seg" in out and out["sem_seg"].shape == out["image"].shape[:2]
+    assert out["height"] == 300 and out["width"] == 400
+
+
+def test_train_loader_batches(synthetic_semantic_dataset):
+    mapper = MaskFormerSemanticDatasetMapper(
+        is_train=True, min_size_train=(128,), crop_size=(128, 128),
+        size_divisibility=128, max_gt=5, color_aug_ssd=False,
+    )
+    loader = TrainLoader(
+        synthetic_semantic_dataset * 4, mapper, batch_size=2, num_workers=2,
+    )
+    batch = next(loader)
+    assert batch["image"].shape == (2, 128, 128, 3)
+    assert batch["masks"].shape == (2, 5, 128, 128)
+    assert batch["valid"].dtype == bool
+    loader.close()
+
+
+def test_rle_decode_uncompressed():
+    # column-major runs: 2x3 mask
+    rle = {"size": [2, 3], "counts": [1, 2, 3]}
+    m = rle_decode(rle)
+    assert m.shape == (2, 3)
+    assert m.reshape(-1, order="F").tolist() == [0, 1, 1, 0, 0, 0]
