@@ -6,7 +6,7 @@ from .mesh import (
     shard_batch,
     replicate,
 )
-from .train_step import TrainState, make_train_step
+from .train_step import TrainState, make_train_step, make_maskfiner_train_step
 
 __all__ = [
     "DATA_AXIS",
@@ -17,4 +17,5 @@ __all__ = [
     "replicate",
     "TrainState",
     "make_train_step",
+    "make_maskfiner_train_step",
 ]

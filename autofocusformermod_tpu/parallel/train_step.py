@@ -18,6 +18,7 @@ from flax import struct
 from flax.core import FrozenDict
 
 from ..losses.criterion import set_criterion
+from ..models.oracle import upsampling_mse_loss
 
 
 class TrainState(struct.PyTreeNode):
@@ -99,6 +100,81 @@ def make_train_step(
             opt_state=new_opt,
         )
         return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+def make_maskfiner_train_step(
+    model,
+    num_classes: int,
+    *,
+    upsampling_weight: float = 10.0,
+    needs_sem_seg_gt: bool = False,
+    eos_coef: float = 0.1,
+    class_weight: float = 2.0,
+    mask_weight: float = 5.0,
+    dice_weight: float = 5.0,
+    num_points: int = 12544,
+    oversample_ratio: float = 3.0,
+    importance_sample_ratio: float = 0.75,
+    donate: bool = True,
+) -> Callable:
+    """Train step for the MaskFiner family: deep-supervision criterion across
+    all cascade stages plus (for oracle-teacher models) the upsampling-mask
+    MSE against the GT-edge oracle (reference maskfiner_model.py:129-147,
+    MODEL.MASK_FINER.UPSAMPLING_WEIGHT).
+
+    batch additionally carries 'sem_seg' (b, H, W) when needs_sem_seg_gt."""
+
+    def loss_fn(params, batch_stats, batch, key):
+        k_drop, k_oracle, k_crit = jax.random.split(key, 3)
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        args = (batch["image"],)
+        rngs = {"dropout": k_drop, "oracle": k_oracle}
+        if needs_sem_seg_gt:
+            args = args + (batch["sem_seg"],)
+        outputs, mutated = model.apply(
+            variables, *args, train=True, mutable=["batch_stats"], rngs=rngs,
+        )
+        targets = {
+            "labels": batch["labels"],
+            "masks": batch["masks"],
+            "valid": batch["valid"],
+        }
+        total, losses = set_criterion(
+            k_crit, outputs, targets, num_classes,
+            eos_coef=eos_coef, class_weight=class_weight,
+            mask_weight=mask_weight, dice_weight=dice_weight,
+            num_points=num_points, oversample_ratio=oversample_ratio,
+            importance_sample_ratio=importance_sample_ratio,
+        )
+        if "upsampling_preds" in outputs and outputs["upsampling_preds"]:
+            l_up = upsampling_mse_loss(
+                outputs["upsampling_preds"], outputs["upsampling_oracles"]
+            )
+            losses["loss_upsampling"] = l_up
+            total = total + upsampling_weight * l_up
+        bs = mutated.get("batch_stats", batch_stats)
+        return total, (losses, bs)
+
+    def train_step(state: TrainState, batch, key) -> Tuple[TrainState, Dict]:
+        (total, (losses, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, key)
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"total_loss": total, **losses}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            state.replace(
+                step=state.step + 1, params=new_params,
+                batch_stats=new_bs, opt_state=new_opt,
+            ),
+            metrics,
+        )
 
     donate_argnums = (0,) if donate else ()
     return jax.jit(train_step, donate_argnums=donate_argnums)

@@ -133,3 +133,36 @@ def test_mixres_neighbour_xattn_variant():
 
     flat = traverse_util.flatten_dict(v["params"])
     assert any("x_attn" in "/".join(k) for k in flat)
+
+
+def test_maskfiner_train_step_decreases_loss(cascade_out):
+    from autofocusformermod_tpu.engine.optimizer import build_optimizer
+    from autofocusformermod_tpu.parallel import TrainState, make_maskfiner_train_step
+
+    cfg, model, variables, x, out = cascade_out
+    rng = np.random.default_rng(0)
+    t = 2
+    masks = np.zeros((2, t, 64, 64), np.float32)
+    masks[:, 0, :32] = 1.0
+    masks[:, 1, 32:] = 1.0
+    batch = {
+        "image": x,
+        "labels": jnp.asarray(rng.integers(0, 7, (2, t)), jnp.int32),
+        "masks": jnp.asarray(masks),
+        "valid": jnp.ones((2, t), bool),
+    }
+    cfg.defrost() if cfg.is_frozen() else None
+    cfg.SOLVER.BASE_LR = 1e-3
+    cfg.SOLVER.MAX_ITER = 100
+    tx = build_optimizer(cfg, variables["params"])
+    state = TrainState.create(variables["params"], variables.get("batch_stats", {}), tx)
+    step = make_maskfiner_train_step(
+        model, cfg.MODEL.MR_SEM_SEG_HEAD.NUM_CLASSES, num_points=64, donate=False,
+    )
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, batch, key)
+        losses.append(float(metrics["total_loss"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0], losses
