@@ -4,8 +4,10 @@ Rebuild of reference mask2former/modeling/matcher.py with static shapes:
 targets are padded to a fixed ``max_gt`` per image with a validity mask.
 The class+mask(BCE)+dice cost matrix is computed on device over
 ``num_points`` shared random sample points (matcher.py:96-153); the LSAP
-itself runs on the host via ``jax.pure_callback`` into scipy — exactly where
-the reference runs it (matcher.py:154-156) — batched in one callback per step.
+itself runs either on the host via ``jax.pure_callback`` into scipy — where
+the reference runs it (matcher.py:154-156) — or fully on device via the
+epsilon-scaling auction (``auction.py``), the default on TPU where host
+callbacks may be unsupported and a per-step host round-trip costs latency.
 
 Invalid target columns get a large constant cost, which leaves the assignment
 over valid columns optimal; losses mask out the invalid matches.
@@ -20,9 +22,30 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .auction import auction_lsap
 from .point_sample import point_sample
 
 _INVALID_COST = 1e8
+
+# LSAP backend: "scipy" (host callback, bit-exact reference parity) or
+# "auction" (pure-JAX epsilon-scaling auction, fully on device).  None =
+# auto: auction on TPU — host callbacks are unsupported on some TPU PJRT
+# runtimes, and the on-device solve avoids a host round-trip per step —
+# scipy elsewhere.
+_MATCHER_BACKEND = None
+
+
+def set_matcher_backend(backend):
+    """Force the LSAP backend: 'scipy', 'auction', or None for auto."""
+    global _MATCHER_BACKEND
+    assert backend in (None, "scipy", "auction"), backend
+    _MATCHER_BACKEND = backend
+
+
+def _resolve_backend() -> str:
+    if _MATCHER_BACKEND is not None:
+        return _MATCHER_BACKEND
+    return "auction" if jax.default_backend() == "tpu" else "scipy"
 
 
 def batch_sigmoid_ce_cost(inputs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
@@ -103,10 +126,12 @@ def hungarian_match(
         pred_logits, pred_masks, tgt_labels, tgt_masks, tgt_valid, point_coords
     )  # (b, q, t)
 
-    matched = jax.pure_callback(
+    cost = jax.lax.stop_gradient(cost).astype(jnp.float32)
+    if _resolve_backend() == "auction":
+        return auction_lsap(cost)
+    return jax.pure_callback(
         _lsap_host,
         jax.ShapeDtypeStruct((b, t), jnp.int32),
-        jax.lax.stop_gradient(cost).astype(jnp.float32),
+        cost,
         vmap_method="sequential",
     )
-    return matched

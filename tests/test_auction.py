@@ -1,0 +1,98 @@
+"""On-device auction LSAP vs scipy optimality."""
+
+import numpy as np
+import jax.numpy as jnp
+from scipy.optimize import linear_sum_assignment
+
+from autofocusformermod_tpu.losses.auction import auction_lsap
+
+
+def test_auction_matches_scipy_cost():
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        Q, T = 50, 30
+        cost = rng.standard_normal((2, Q, T)).astype(np.float32) * 5
+        assigned = np.asarray(auction_lsap(jnp.asarray(cost)))
+        for b in range(2):
+            # distinct queries
+            assert len(set(assigned[b].tolist())) == T
+            got = cost[b][assigned[b], np.arange(T)].sum()
+            rows, cols = linear_sum_assignment(cost[b])
+            opt = cost[b][rows, cols].sum()
+            assert got <= opt + 0.05 * T, (trial, got, opt)
+
+
+def test_auction_square_exactish():
+    rng = np.random.default_rng(1)
+    cost = rng.uniform(0, 10, (1, 20, 20)).astype(np.float32)
+    assigned = np.asarray(auction_lsap(jnp.asarray(cost)))
+    got = cost[0][assigned[0], np.arange(20)].sum()
+    rows, cols = linear_sum_assignment(cost[0])
+    opt = cost[0][rows, cols].sum()
+    assert got <= opt + 0.5, (got, opt)
+
+
+def test_matcher_auction_backend_matches_scipy():
+    """hungarian_match with backend='auction' reaches the same assignment
+    cost as the scipy host-callback backend on realistic matcher inputs."""
+    import jax
+    from autofocusformermod_tpu.losses import matcher as M
+
+    key = jax.random.PRNGKey(0)
+    b, q, t, h, w, nc, p = 2, 25, 8, 16, 16, 5, 64
+    ks = jax.random.split(key, 6)
+    logits = jax.random.normal(ks[0], (b, q, nc + 1))
+    masks = jax.random.normal(ks[1], (b, q, h, w))
+    labels = jax.random.randint(ks[2], (b, t), 0, nc)
+    gt = (jax.random.normal(ks[3], (b, t, h, w)) > 0.5).astype(jnp.float32)
+    valid = jnp.arange(t)[None, :] < jnp.array([[5], [8]])
+    coords = jax.random.uniform(ks[4], (b, p, 2))
+
+    outs = {}
+    for backend in ("scipy", "auction"):
+        M.set_matcher_backend(backend)
+        try:
+            outs[backend] = np.asarray(
+                M.hungarian_match(
+                    logits, masks, labels, gt, valid, coords,
+                    cost_class=2.0, cost_mask=5.0, cost_dice=5.0,
+                )
+            )
+        finally:
+            M.set_matcher_backend(None)
+
+    # assignments may differ at ties; compare achieved cost on valid slots
+    def per_image_cost(i, assign):
+        prob = np.asarray(jax.nn.softmax(logits[i], -1))
+        cc = -prob[:, np.asarray(labels[i])]
+        from autofocusformermod_tpu.losses.point_sample import point_sample
+        cq = jnp.broadcast_to(coords[i][None], (q, p, 2))
+        ct = jnp.broadcast_to(coords[i][None], (t, p, 2))
+        op = point_sample(masks[i], cq)
+        tp = point_sample(gt[i], ct)
+        cm = np.asarray(M.batch_sigmoid_ce_cost(op, tp))
+        cd = np.asarray(M.batch_dice_cost(op, tp))
+        c = 5.0 * cm + 2.0 * cc + 5.0 * cd
+        v = np.asarray(valid[i])
+        return c[assign[np.nonzero(v)[0]], np.nonzero(v)[0]].sum()
+
+    for i in range(b):
+        cs = per_image_cost(i, outs["scipy"][i])
+        ca = per_image_cost(i, outs["auction"][i])
+        assert abs(cs - ca) < 0.02, (i, cs, ca)
+        # distinct assignment across all padded slots
+        assert len(set(outs["auction"][i].tolist())) == t
+
+
+def test_auction_with_padded_invalid_columns():
+    # invalid columns carry a large constant cost like the matcher produces
+    rng = np.random.default_rng(2)
+    Q, T = 20, 10
+    cost = rng.standard_normal((1, Q, T)).astype(np.float32)
+    cost[:, :, 6:] = 1e8
+    assigned = np.asarray(auction_lsap(jnp.asarray(cost)))
+    assert len(set(assigned[0].tolist())) == T
+    got = cost[0][assigned[0][:6], np.arange(6)].sum()
+    rows, cols = linear_sum_assignment(cost[0][:, :6])
+    opt = cost[0][rows, cols].sum()
+    assert got <= opt + 0.05 * T
