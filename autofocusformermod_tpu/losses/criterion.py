@@ -22,7 +22,7 @@ from typing import Dict, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from .matcher import hungarian_match
+from .matcher import matching_cost, solve_lsap
 from .point_sample import (
     get_uncertain_point_coords_with_randomness,
     point_sample,
@@ -118,14 +118,37 @@ def set_criterion(
     all_outputs = [outputs] + list(outputs.get("aux_outputs", ()))
     losses: Dict[str, jnp.ndarray] = {}
     total = 0.0
-    for i, out in enumerate(all_outputs):
+
+    # Match all deep-supervision layers in ONE batched LSAP solve: the
+    # on-device solvers are sequential while-loops, so stacking the layers
+    # into the batch runs them in vmap lockstep (~L x fewer sequential
+    # steps); the scipy path collapses to one host callback per step.
+    layer_keys = []
+    costs = []
+    for out in all_outputs:
         key, k_match, k_pts = jax.random.split(key, 3)
+        layer_keys.append(k_pts)
         point_coords = jax.random.uniform(k_match, (b, num_points, 2))
-        matched = hungarian_match(
-            out["pred_logits"], out["pred_masks"],
-            tgt_labels, tgt_masks, tgt_valid, point_coords,
-            cost_class=class_weight, cost_mask=mask_weight, cost_dice=dice_weight,
+        costs.append(
+            matching_cost(
+                out["pred_logits"], out["pred_masks"],
+                tgt_labels, tgt_masks, tgt_valid, point_coords,
+                cost_class=class_weight, cost_mask=mask_weight,
+                cost_dice=dice_weight,
+            )
         )
+    matched_all = [None] * len(all_outputs)
+    by_shape: Dict[Tuple, list] = {}
+    for i, c in enumerate(costs):
+        by_shape.setdefault(c.shape, []).append(i)
+    for idxs in by_shape.values():
+        sol = solve_lsap(jnp.concatenate([costs[i] for i in idxs], axis=0))
+        for k, i in enumerate(idxs):
+            matched_all[i] = sol[k * b : (k + 1) * b]
+
+    for i, out in enumerate(all_outputs):
+        k_pts = layer_keys[i]
+        matched = matched_all[i]
         l_ce = _loss_labels(
             out["pred_logits"], tgt_labels, tgt_valid, matched, num_classes, eos_coef
         )

@@ -6,8 +6,9 @@ The class+mask(BCE)+dice cost matrix is computed on device over
 ``num_points`` shared random sample points (matcher.py:96-153); the LSAP
 itself runs either on the host via ``jax.pure_callback`` into scipy — where
 the reference runs it (matcher.py:154-156) — or fully on device via the
-epsilon-scaling auction (``auction.py``), the default on TPU where host
-callbacks may be unsupported and a per-step host round-trip costs latency.
+exact Hungarian/JV solver (``lapjv.py``; eps-scaling auction in
+``auction.py`` as an alternative), the default on TPU where host callbacks
+may be unsupported and a per-step host round-trip costs latency.
 
 Invalid target columns get a large constant cost, which leaves the assignment
 over valid columns optimal; losses mask out the invalid matches.
@@ -23,29 +24,31 @@ import jax.numpy as jnp
 import numpy as np
 
 from .auction import auction_lsap
+from .lapjv import hungarian_lsap
 from .point_sample import point_sample
 
 _INVALID_COST = 1e8
 
-# LSAP backend: "scipy" (host callback, bit-exact reference parity) or
-# "auction" (pure-JAX epsilon-scaling auction, fully on device).  None =
-# auto: auction on TPU — host callbacks are unsupported on some TPU PJRT
-# runtimes, and the on-device solve avoids a host round-trip per step —
-# scipy elsewhere.
+# LSAP backend: "scipy" (host callback), "jv" (exact on-device Hungarian,
+# lapjv.py), or "auction" (on-device eps-scaling auction, auction.py).
+# None = auto: "jv" on TPU — host callbacks are unsupported on some TPU
+# PJRT runtimes, the on-device solve avoids a host round-trip per step,
+# and JV is both exact and ~100x fewer sequential steps than the auction
+# at matcher sizes — scipy elsewhere.
 _MATCHER_BACKEND = None
 
 
 def set_matcher_backend(backend):
-    """Force the LSAP backend: 'scipy', 'auction', or None for auto."""
+    """Force the LSAP backend: 'scipy', 'jv', 'auction', or None for auto."""
     global _MATCHER_BACKEND
-    assert backend in (None, "scipy", "auction"), backend
+    assert backend in (None, "scipy", "jv", "auction"), backend
     _MATCHER_BACKEND = backend
 
 
 def _resolve_backend() -> str:
     if _MATCHER_BACKEND is not None:
         return _MATCHER_BACKEND
-    return "auction" if jax.default_backend() == "tpu" else "scipy"
+    return "jv" if jax.default_backend() == "tpu" else "scipy"
 
 
 def batch_sigmoid_ce_cost(inputs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
@@ -82,7 +85,7 @@ def _lsap_host(cost: np.ndarray) -> np.ndarray:
     return out
 
 
-def hungarian_match(
+def matching_cost(
     pred_logits: jnp.ndarray,
     pred_masks: jnp.ndarray,
     tgt_labels: jnp.ndarray,
@@ -93,13 +96,13 @@ def hungarian_match(
     cost_mask: float,
     cost_dice: float,
 ) -> jnp.ndarray:
-    """Match queries to padded targets.
+    """The class+mask+dice assignment cost matrix (matcher.py:96-153).
 
     pred_logits - (b, q, nc+1); pred_masks - (b, q, h, w)
     tgt_labels  - (b, t) int32; tgt_masks - (b, t, H, W); tgt_valid - (b, t)
     point_coords- (b, p, 2) shared random points (same for preds and targets,
                   matcher.py:121)
-    Returns matched query index per target slot, (b, t) int32.
+    Returns (b, q, t) with invalid target columns at _INVALID_COST.
     """
     b, q = pred_logits.shape[:2]
     t = tgt_labels.shape[1]
@@ -122,16 +125,46 @@ def hungarian_match(
         cost = cost_mask * cm + cost_class * cc + cost_dice * cd
         return jnp.where(valid[None, :], cost, _INVALID_COST)
 
-    cost = jax.vmap(per_image)(
+    return jax.vmap(per_image)(
         pred_logits, pred_masks, tgt_labels, tgt_masks, tgt_valid, point_coords
     )  # (b, q, t)
 
+
+def solve_lsap(cost: jnp.ndarray) -> jnp.ndarray:
+    """Solve the batched assignment. cost: (b, q, t) -> (b, t) int32 matched
+    query per target slot.  Batch the deep-supervision layers into ``b``
+    when possible: the on-device solvers' sequential while-loops then run
+    once in vmap lockstep instead of once per layer."""
+    b, _, t = cost.shape
     cost = jax.lax.stop_gradient(cost).astype(jnp.float32)
-    if _resolve_backend() == "auction":
+    backend = _resolve_backend()
+    if backend == "jv":
+        return hungarian_lsap(cost)
+    if backend == "auction":
         return auction_lsap(cost)
     return jax.pure_callback(
         _lsap_host,
         jax.ShapeDtypeStruct((b, t), jnp.int32),
         cost,
         vmap_method="sequential",
+    )
+
+
+def hungarian_match(
+    pred_logits: jnp.ndarray,
+    pred_masks: jnp.ndarray,
+    tgt_labels: jnp.ndarray,
+    tgt_masks: jnp.ndarray,
+    tgt_valid: jnp.ndarray,
+    point_coords: jnp.ndarray,
+    cost_class: float,
+    cost_mask: float,
+    cost_dice: float,
+) -> jnp.ndarray:
+    """Match queries to padded targets: (b, t) int32 query per target."""
+    return solve_lsap(
+        matching_cost(
+            pred_logits, pred_masks, tgt_labels, tgt_masks, tgt_valid,
+            point_coords, cost_class, cost_mask, cost_dice,
+        )
     )

@@ -1,10 +1,30 @@
-"""On-device auction LSAP vs scipy optimality."""
+"""On-device LSAP solvers (JV Hungarian, eps-scaling auction) vs scipy."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 from scipy.optimize import linear_sum_assignment
 
 from autofocusformermod_tpu.losses.auction import auction_lsap
+from autofocusformermod_tpu.losses.lapjv import hungarian_lsap
+
+
+def test_jv_exact_vs_scipy():
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        Q, T = 100, int(rng.integers(1, 101))
+        cost = rng.standard_normal((2, Q, T)).astype(np.float32) * 5
+        if seed % 2 == 0:  # matcher-style invalid sentinel columns
+            cost[:, :, T - int(rng.integers(0, T)):] = 1e8
+        a = np.asarray(hungarian_lsap(jnp.asarray(cost)))
+        for i in range(2):
+            assert len(set(a[i].tolist())) == T
+            r, c = linear_sum_assignment(np.float64(cost[i]))
+            opt = cost[i][r, c].sum()
+            got = cost[i][a[i], np.arange(T)].sum()
+            assert abs(got - opt) <= 1e-2 * max(1.0, abs(opt) / 1e4), (
+                seed, i, got, opt,
+            )
 
 
 def test_auction_matches_scipy_cost():
@@ -32,8 +52,9 @@ def test_auction_square_exactish():
     assert got <= opt + 0.5, (got, opt)
 
 
-def test_matcher_auction_backend_matches_scipy():
-    """hungarian_match with backend='auction' reaches the same assignment
+@pytest.mark.parametrize("device_backend", ["jv", "auction"])
+def test_matcher_device_backends_match_scipy(device_backend):
+    """hungarian_match with an on-device backend reaches the same assignment
     cost as the scipy host-callback backend on realistic matcher inputs."""
     import jax
     from autofocusformermod_tpu.losses import matcher as M
@@ -49,7 +70,7 @@ def test_matcher_auction_backend_matches_scipy():
     coords = jax.random.uniform(ks[4], (b, p, 2))
 
     outs = {}
-    for backend in ("scipy", "auction"):
+    for backend in ("scipy", device_backend):
         M.set_matcher_backend(backend)
         try:
             outs[backend] = np.asarray(
@@ -78,10 +99,10 @@ def test_matcher_auction_backend_matches_scipy():
 
     for i in range(b):
         cs = per_image_cost(i, outs["scipy"][i])
-        ca = per_image_cost(i, outs["auction"][i])
+        ca = per_image_cost(i, outs[device_backend][i])
         assert abs(cs - ca) < 0.02, (i, cs, ca)
         # distinct assignment across all padded slots
-        assert len(set(outs["auction"][i].tolist())) == t
+        assert len(set(outs[device_backend][i].tolist())) == t
 
 
 def test_auction_with_padded_invalid_columns():
