@@ -25,7 +25,7 @@ import numpy as np
 
 from .auction import auction_lsap
 from .lapjv import hungarian_lsap
-from .point_sample import point_sample
+from .point_sample import point_sample_shared
 
 _INVALID_COST = 1e8
 
@@ -111,10 +111,8 @@ def matching_cost(
         out_prob = jax.nn.softmax(logits, axis=-1)            # (q, nc+1)
         cc = -out_prob[:, labels]                             # (q, t)
 
-        coords_q = jnp.broadcast_to(coords[None], (q,) + coords.shape)
-        coords_t = jnp.broadcast_to(coords[None], (t,) + coords.shape)
-        out_pts = point_sample(masks, coords_q)               # (q, p)
-        tgt_pts = point_sample(gt_masks, coords_t)            # (t, p)
+        out_pts = point_sample_shared(masks, coords)          # (q, p)
+        tgt_pts = point_sample_shared(gt_masks, coords)       # (t, p)
 
         cm = batch_sigmoid_ce_cost(out_pts, tgt_pts)
         cd = batch_dice_cost(out_pts, tgt_pts)

@@ -22,7 +22,12 @@ def point_sample(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     masks  - (n, h, w)
     coords - (n, p, 2) in [0, 1], (x, y) order
     returns (n, p)
-    """
+
+    Four scalar taps per point.  NOTE: fetching the 2x2 corner window with a
+    single lax.gather (slice_sizes=(2,2)) would cut gathered rows 4x, but
+    XLA on this TPU runtime materializes it catastrophically (19.6 GB HBM at
+    compile for an (80, 37632)-point sample) — measured and rejected.  When
+    all masks share the same points use ``point_sample_shared`` instead."""
     n, h, w = masks.shape
     x = coords[..., 0] * w - 0.5
     y = coords[..., 1] * h - 0.5
@@ -46,6 +51,41 @@ def point_sample(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
     return top * (1 - wy) + bot * wy
+
+
+def point_sample_shared(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """``point_sample`` when every mask is sampled at the SAME points.
+
+    masks - (m, h, w); coords - (p, 2) in [0, 1] -> (m, p).
+
+    Identical math to ``point_sample`` with broadcast coords, but gathers p
+    rows of the transposed (h*w, m) matrix instead of m*p scalar rows of
+    (m, h*w): XLA/TPU gathers are row-rate-bound, so moving m values per
+    gathered row is ~m times faster.  This is the matcher's hot path
+    (q+t masks x 12544 shared points per image per aux layer)."""
+    m, h, w = masks.shape
+    x = coords[:, 0] * w - 0.5
+    y = coords[:, 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[:, None]
+    wy = (y - y0)[:, None]
+    flat_t = masks.reshape(m, h * w).T                     # (h*w, m)
+
+    def tap(xi, yi):
+        inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        v = jnp.take(flat_t, yi_c * w + xi_c, axis=0)      # (p, m)
+        return jnp.where(inb[:, None], v, 0.0)
+
+    v00 = tap(x0, y0)
+    v01 = tap(x0 + 1, y0)
+    v10 = tap(x0, y0 + 1)
+    v11 = tap(x0 + 1, y0 + 1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return (top * (1 - wy) + bot * wy).T                   # (m, p)
 
 
 def calculate_uncertainty(logits: jnp.ndarray) -> jnp.ndarray:

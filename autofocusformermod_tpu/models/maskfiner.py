@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
 
+from ..geometry.gridnn import grid_shepard_upsample
 from ..geometry.knn import knn
 from ..geometry.shepard import upsample_feature_shepard
 from ..geometry.rasterize import point2img
@@ -50,7 +51,12 @@ def fix_pos_no_bias(pos: jnp.ndarray, current_ss, finest_ss) -> jnp.ndarray:
 class MSDeformAttnPixelDecoderMaskFiner(nn.Module):
     """Per-cascade-stage pixel decoder (msdeformattn_pc_maskfiner.py:512-602):
     positions unified onto the min-patch canvas via fix_pos_no_bias, mask
-    features = concat of ALL levels; returns the 7-tuple."""
+    features = concat of ALL levels; returns the 7-tuple.
+
+    ``activation="lrelu"`` + ``final_layer`` make this the
+    MSDeformAttnPixelDecoderMaskFinerOracleTeacher variant
+    (msdeformattn_pc_maskfiner_oracle_teacher.py: leaky-relu FFN/FPN,
+    mask-features head only on the final stage)."""
 
     in_features: Sequence[str]                # e.g. ("res4", "res5")
     transformer_in_features: Sequence[str]    # e.g. ("res4", "res5")
@@ -64,6 +70,9 @@ class MSDeformAttnPixelDecoderMaskFiner(nn.Module):
     shepard_power: float = 3.0
     shepard_power_learnable: bool = True
     maskformer_num_feature_levels: int = 3
+    activation: str = "relu"
+    final_layer: bool = True
+    mask_decoder_all_levels: bool = False
 
     @nn.compact
     def __call__(self, features: Dict, deterministic: bool = True):
@@ -111,6 +120,7 @@ class MSDeformAttnPixelDecoderMaskFiner(nn.Module):
                 n_points=self.n_points,
                 shepard_power=self.shepard_power,
                 shepard_power_learnable=self.shepard_power_learnable,
+                activation=self.activation,
                 name=f"encoder_layer_{li}",
             )(out, fixed_poss, span_shapes, lvl_pos, nb_packed, deterministic)
         out = list(out)
@@ -129,19 +139,92 @@ class MSDeformAttnPixelDecoderMaskFiner(nn.Module):
             y = cur_fpn + upsample_feature_shepard(fixed, fixed_poss[-1], out[-1])
             y = PointConv(self.conv_dim, name=f"layer_{idx + 1}_pointconv")(y, fixed)
             y = nn.LayerNorm(name=f"layer_{idx + 1}_norm")(y)
-            y = nn.relu(y)
+            y = nn.leaky_relu(y) if self.activation == "lrelu" else nn.relu(y)
             fixed_poss.append(fixed)
             out.append(y)
 
         mf = jnp.concatenate(out, axis=1)
         mf_pos = jnp.concatenate(fixed_poss, axis=1)
-        mask_features = nn.Dense(self.mask_dim, name="mask_features")(mf)
+        mask_features = (
+            nn.Dense(self.mask_dim, name="mask_features")(mf)
+            if self.final_layer or self.mask_decoder_all_levels
+            else None
+        )
         finest_input_shape = min_ss
         input_shapes = [features[f + "_spatial_shape"] for f in self.in_features[::-1]]
         return (
             mask_features, mf_pos, out, poss, scaless, finest_input_shape,
             input_shapes,
         )
+
+
+class ProjPixelDecoderMaskFiner(nn.Module):
+    """Projection-only per-stage pixel decoder — registry name
+    ``ProjMaskFinerOracleTeacher`` (proj_maskfiner_oracle_teacher.py:344-506):
+    per-level Linear+LN input projections (identity when the width already
+    matches, reference :402-430 with force_proj=False), positions unified via
+    fix_pos_no_bias, optional mask-features head on the concat; NO
+    transformer.  Used by the first cascade stages of every oracle-teacher
+    MaskFiner config."""
+
+    in_features: Sequence[str]
+    conv_dim: int = 256
+    mask_dim: int = 256
+    final_layer: bool = False
+    mask_decoder_all_levels: bool = False
+
+    @nn.compact
+    def __call__(self, features: Dict, deterministic: bool = True):
+        min_ss = features["min_spatial_shape"]
+        srcs, poss, scaless, fixed_poss = [], [], [], []
+        for idx, f in enumerate(self.in_features[::-1]):       # coarse first
+            x = features[f].astype(jnp.float32)
+            pos = features[f + "_pos"].astype(jnp.float32)
+            ss = features[f + "_spatial_shape"]
+            if x.shape[-1] != self.conv_dim:
+                x = nn.Dense(self.conv_dim, name=f"input_proj_{idx}_dense")(x)
+                x = nn.LayerNorm(name=f"input_proj_{idx}_norm")(x)
+            srcs.append(x)
+            poss.append(pos)
+            scaless.append(features[f + "_scale"].astype(jnp.float32))
+            fixed_poss.append(fix_pos_no_bias(pos, ss, min_ss))
+        mf = jnp.concatenate(srcs, axis=1)
+        mf_pos = jnp.concatenate(fixed_poss, axis=1)
+        mask_features = (
+            nn.Dense(self.mask_dim, name="mask_features")(mf)
+            if self.final_layer or self.mask_decoder_all_levels
+            else None
+        )
+        input_shapes = [features[f + "_spatial_shape"] for f in self.in_features[::-1]]
+        return mask_features, mf_pos, srcs, poss, scaless, min_ss, input_shapes
+
+
+def hierarchical_upsample_dense(feats: List, poss: List, finest_shape):
+    """Paint per-level token features onto the full finest grid: each level-i
+    token (coarsest first) covers a r_i x r_i block (r_i = 2^(L-1-i)) whose
+    top-left corner is the token's raw position in finest-grid units; finer
+    levels claim cells over coarser ones.
+
+    Re-expression of the reference's hierarchical_upsample_ordered
+    (point_utils.py:611-659, finest-claims-first with a visibility mask) as
+    coarse-to-fine overwrite scatters — same content, but in canonical
+    raster order with static shapes, so downstream mask rasterization is a
+    plain reshape.  Returns (b, H*W, C)."""
+    H, W = int(finest_shape[0]), int(finest_shape[1])
+    L = len(feats)
+    b, _, C = feats[0].shape
+    dense = jnp.zeros((b, H * W, C), feats[0].dtype)
+    bidx = jnp.arange(b)[:, None]
+    for i, (f, p) in enumerate(zip(feats, poss)):
+        r = 2 ** (L - 1 - i)
+        xi = p[..., 0].astype(jnp.int32)
+        yi = p[..., 1].astype(jnp.int32)
+        dy, dx = np.meshgrid(np.arange(r), np.arange(r), indexing="ij")
+        off = jnp.asarray((dy * W + dx).reshape(-1), jnp.int32)   # (r*r,)
+        idx = (yi * W + xi)[:, :, None] + off[None, None, :]      # (b, n, r*r)
+        vals = jnp.repeat(f, r * r, axis=1)                       # (b, n*r*r, C)
+        dense = dense.at[bidx, idx.reshape(b, -1)].set(vals, mode="drop")
+    return dense
 
 
 def gini_disagreement(outputs_mask: jnp.ndarray, outputs_class: jnp.ndarray) -> jnp.ndarray:
@@ -172,7 +255,15 @@ def gini_disagreement(outputs_mask: jnp.ndarray, outputs_class: jnp.ndarray) -> 
 class MultiScaleMaskFinerTransformerDecoder(nn.Module):
     """Per-stage mask decoder (maskfiner_transformer_decoder.py:430-654):
     masked cross-attention over the stage's levels, predictions rasterized on
-    the finest level's grid, disagreement mask emitted for the next stage."""
+    the finest level's grid, disagreement mask emitted for the next stage.
+
+    With ``dense_mask_features=True`` this is the OracleTeacher variant
+    (maskfiner_transformer_decoder_oracle_teacher.py:444-563): mask features
+    are first painted onto the full finest grid (hierarchical upsample, finer
+    levels claim cells) + sine PE, prediction heads read the dense grid
+    directly (mask rasterization becomes a reshape) and no disagreement mask
+    is produced — the OT cascade predicts upsampling masks with an MLP head
+    instead (mask_predictor_oracle_teacher.py:83-126)."""
 
     in_channels: int
     num_classes: int
@@ -186,12 +277,25 @@ class MultiScaleMaskFinerTransformerDecoder(nn.Module):
     enforce_input_project: bool = False
     num_feature_levels: int = 3
     final_layer: bool = False
+    dense_mask_features: bool = False
 
     @nn.compact
     def __call__(self, x: List, pos: List, mask_features, mf_pos,
                  finest_input_shape, input_shapes, deterministic: bool = True):
         finest_feat_shape = input_shapes[-1]
         nl = self.num_feature_levels
+        if self.dense_mask_features:
+            # OT mode: paint mask features onto the full finest grid
+            # (reference :455-457); the level lists here still hold ALL
+            # levels coarse->fine, matching the mask_features concat order.
+            segs = [xi.shape[1] for xi in x]
+            starts = np.cumsum([0] + segs[:-1])
+            mf_segments = [
+                mask_features[:, s : s + n] for s, n in zip(starts, segs)
+            ]
+            mask_features = hierarchical_upsample_dense(
+                mf_segments, pos, finest_input_shape
+            )
         x = x[:nl]
         pos = pos[:nl]
         shapes = input_shapes[:nl]
@@ -215,6 +319,19 @@ class MultiScaleMaskFinerTransformerDecoder(nn.Module):
             jnp.asarray(np.stack([xs, ys], 2).reshape(1, -1, 2), jnp.float32),
             (b, finest_feat_shape[0] * finest_feat_shape[1], 2),
         )
+
+        if self.dense_mask_features:
+            # final-stage invariant: the min-patch canvas IS the finest level
+            assert tuple(finest_input_shape) == tuple(finest_feat_shape), (
+                finest_input_shape, finest_feat_shape,
+            )
+            mask_features = mask_features + position_embedding_sine(
+                finest_pos, self.mask_dim // 2
+            )
+            grid_lut = jnp.broadcast_to(
+                jnp.arange(finest_pos.shape[1], dtype=jnp.int32)[None],
+                (b, finest_pos.shape[1]),
+            )
 
         query_feat = nn.Embed(self.num_queries, self.hidden_dim, name="query_feat")
         query_embed = nn.Embed(self.num_queries, self.hidden_dim, name="query_embed")
@@ -244,9 +361,16 @@ class MultiScaleMaskFinerTransformerDecoder(nn.Module):
             memb = mask_embed(dec)
             omask = jnp.einsum("bqc,bnc->bqn", memb, mask_features)
             if masked_attn:
-                am = upsample_feature_shepard(
-                    target_pos, mf_pos_scaled, omask.transpose(0, 2, 1)
-                ).transpose(0, 2, 1)
+                if self.dense_mask_features:
+                    am = grid_shepard_upsample(
+                        target_pos, finest_pos, omask.transpose(0, 2, 1),
+                        int(finest_feat_shape[0]), int(finest_feat_shape[1]),
+                        lut=grid_lut,
+                    ).transpose(0, 2, 1)
+                else:
+                    am = upsample_feature_shepard(
+                        target_pos, mf_pos_scaled, omask.transpose(0, 2, 1)
+                    ).transpose(0, 2, 1)
                 am = jax.lax.stop_gradient(jax.nn.sigmoid(am) < 0.5)
                 am = jnp.broadcast_to(
                     am[:, None], (b, self.nheads, am.shape[1], am.shape[2])
@@ -256,6 +380,11 @@ class MultiScaleMaskFinerTransformerDecoder(nn.Module):
             return ocls, omask, am
 
         def rasterize(pred_mask):
+            if self.dense_mask_features:
+                # dense grid masks are already in raster order
+                return pred_mask.reshape(
+                    b, -1, finest_feat_shape[0], finest_feat_shape[1]
+                )
             up = upsample_feature_shepard(
                 finest_pos, mf_pos_scaled, pred_mask.transpose(0, 2, 1)
             ).transpose(0, 2, 1)
@@ -288,7 +417,12 @@ class MultiScaleMaskFinerTransformerDecoder(nn.Module):
             predictions_class.append(ocls)
             predictions_mask.append(rasterize(pred_mask))
 
-        disagreement = gini_disagreement(pred_mask, ocls)   # (b, n_mf)
+        # OT decoder emits no disagreement (the cascade's upsampling masks
+        # come from the predictor MLP instead, reference OT decoder :563)
+        disagreement = (
+            None if self.dense_mask_features
+            else gini_disagreement(pred_mask, ocls)          # (b, n_mf)
+        )
 
         aux = tuple(
             {"pred_logits": a, "pred_masks": m}
@@ -334,6 +468,49 @@ class MaskPredictor(nn.Module):
         # per-scale segment sizes of the pixel-decoder output stream
         seg_sizes = tuple(f.shape[1] for f in ms_feats)
         return predictions, all_feat, pos_scale, upsampling_mask, seg_sizes, tokens_per_scale
+
+
+class MaskPredictorOracleTeacher(nn.Module):
+    """OT cascade stage (mask_predictor_oracle_teacher.py:35-126): non-final
+    stages run backbone + projection pixel decoder ONLY — no mask decoder —
+    and predict the next-stage upsampling mask with a 3-layer MLP over the
+    concatenated pixel-decoder features; the final stage runs the full
+    decoder (dense OT variant)."""
+
+    backbone: nn.Module
+    pixel_decoder: nn.Module
+    mask_decoder: Optional[nn.Module]
+    hidden_dim: int
+    final_layer: bool
+
+    @nn.compact
+    def __call__(self, im, features, features_pos, upsampling_mask,
+                 tokens_per_scale, train: bool = False):
+        feats, tokens_per_scale = self.backbone(
+            im, features, features_pos, upsampling_mask, tokens_per_scale, train
+        )
+        (mask_features, mf_pos, ms_feats, ms_poss, ms_scales, finest_input_shape,
+         input_shapes) = self.pixel_decoder(feats, deterministic=not train)
+        if self.mask_decoder is not None:
+            predictions, _ = self.mask_decoder(
+                ms_feats, ms_poss, mask_features, mf_pos, finest_input_shape,
+                input_shapes, deterministic=not train,
+            )
+        else:
+            predictions = {"aux_outputs": ()}
+        all_pos = jnp.concatenate(ms_poss, axis=1)
+        all_scale = jnp.concatenate(ms_scales, axis=1)
+        pos_scale = jnp.concatenate([all_scale[..., None], all_pos], axis=2)
+        all_feat = jnp.concatenate(ms_feats, axis=1)
+        upsampling_mask = (
+            None if self.final_layer
+            else MLP(self.hidden_dim * 2, 1, 3, name="upsample_out")(
+                all_feat
+            )[..., 0]
+        )
+        seg_sizes = tuple(f.shape[1] for f in ms_feats)
+        return (predictions, all_feat, pos_scale, upsampling_mask, seg_sizes,
+                tokens_per_scale)
 
 
 class MaskFiner(nn.Module):
@@ -431,19 +608,45 @@ def maskfiner_from_config(cfg) -> MaskFiner:
             trans = all_trans
         else:
             trans = all_trans[len(all_trans) - li - 1:]
-        pixel_decoder = MSDeformAttnPixelDecoderMaskFiner(
-            in_features=tuple(in_features),
-            transformer_in_features=tuple(trans),
-            conv_dim=head.CONVS_DIM[li],
-            mask_dim=mfr.MASK_DIM[li],
-            transformer_nheads=head.NHEADS[li],
-            transformer_dim_feedforward=int(head.CONVS_DIM[li] * head.MLP_RATIO[li]),
-            transformer_enc_layers=head.TRANSFORMER_ENC_LAYERS[li],
-            transformer_dropout=head.DROPOUT,
-            shepard_power=mfr.SHEPARD_POWER / 2.0,
-            shepard_power_learnable=mfr.SHEPARD_POWER_LEARNABLE,
-            maskformer_num_feature_levels=mfr.DECODER_LEVELS[li],
-        )
+
+        final = li == n_stages - 1
+        pd_names = head.PIXEL_DECODER_NAME
+        if isinstance(pd_names, str):
+            pd_names = [pd_names] * n_stages
+        pd_name = pd_names[li]
+        dec_name = getattr(mfr, "TRANSFORMER_DECODER_NAME",
+                           "MultiScaleMaskFinerTransformerDecoder")
+        ot_predictor = head.NAME == "MaskPredictorOracleTeacher"
+
+        if pd_name == "ProjMaskFinerOracleTeacher":
+            pixel_decoder = ProjPixelDecoderMaskFiner(
+                in_features=tuple(in_features),
+                conv_dim=head.CONVS_DIM[li],
+                mask_dim=mfr.MASK_DIM[li],
+                final_layer=final,
+                mask_decoder_all_levels=mfr.MASK_DECODER_ALL_LEVELS,
+            )
+        else:
+            pixel_decoder = MSDeformAttnPixelDecoderMaskFiner(
+                in_features=tuple(in_features),
+                transformer_in_features=tuple(trans),
+                conv_dim=head.CONVS_DIM[li],
+                mask_dim=mfr.MASK_DIM[li],
+                transformer_nheads=head.NHEADS[li],
+                transformer_dim_feedforward=int(head.CONVS_DIM[li] * head.MLP_RATIO[li]),
+                transformer_enc_layers=head.TRANSFORMER_ENC_LAYERS[li],
+                transformer_dropout=head.DROPOUT,
+                shepard_power=mfr.SHEPARD_POWER / 2.0,
+                shepard_power_learnable=mfr.SHEPARD_POWER_LEARNABLE,
+                maskformer_num_feature_levels=mfr.DECODER_LEVELS[li],
+                activation="lrelu" if pd_name.endswith("OracleTeacher") else "relu",
+                # the mask-features head is only skipped when the OT
+                # predictor really runs no decoder at this stage
+                final_layer=final or not (pd_name.endswith("OracleTeacher")
+                                          and ot_predictor),
+                mask_decoder_all_levels=mfr.MASK_DECODER_ALL_LEVELS,
+            )
+        build_decoder = (not ot_predictor) or final or mfr.MASK_DECODER_ALL_LEVELS
         mask_decoder = MultiScaleMaskFinerTransformerDecoder(
             in_channels=head.CONVS_DIM[li],
             num_classes=head.NUM_CLASSES,
@@ -456,16 +659,29 @@ def maskfiner_from_config(cfg) -> MaskFiner:
             mask_dim=mfr.MASK_DIM[li],
             enforce_input_project=mfr.ENFORCE_INPUT_PROJ,
             num_feature_levels=mfr.DECODER_LEVELS[li],
-            final_layer=li == n_stages - 1,
-        )
-        predictors.append(
-            MaskPredictor(
-                backbone=backbone,
-                pixel_decoder=pixel_decoder,
-                mask_decoder=mask_decoder,
-                name=f"mask_predictors_{li}",
+            final_layer=final,
+            dense_mask_features=dec_name.endswith("OracleTeacher"),
+        ) if build_decoder else None
+        if ot_predictor:
+            predictors.append(
+                MaskPredictorOracleTeacher(
+                    backbone=backbone,
+                    pixel_decoder=pixel_decoder,
+                    mask_decoder=mask_decoder,
+                    hidden_dim=head.CONVS_DIM[li],
+                    final_layer=final,
+                    name=f"mask_predictors_{li}",
+                )
             )
-        )
+        else:
+            predictors.append(
+                MaskPredictor(
+                    backbone=backbone,
+                    pixel_decoder=pixel_decoder,
+                    mask_decoder=mask_decoder,
+                    name=f"mask_predictors_{li}",
+                )
+            )
     return MaskFiner(
         mask_predictors=tuple(predictors),
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),

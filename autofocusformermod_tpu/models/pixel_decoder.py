@@ -212,6 +212,7 @@ class MSDeformAttnEncoderLayerPc(nn.Module):
     n_points: int
     shepard_power: float
     shepard_power_learnable: bool
+    activation: str = "relu"    # OT variant uses lrelu (…oracle_teacher.py)
 
     @nn.compact
     def __call__(self, srcs, poss, spatial_shapes, pos_embeds, nb_packed,
@@ -227,11 +228,12 @@ class MSDeformAttnEncoderLayerPc(nn.Module):
         lin1 = nn.Dense(self.d_ffn, name="linear1")
         lin2 = nn.Dense(self.d_model, name="linear2")
         drop = lambda x: nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        act = nn.leaky_relu if self.activation == "lrelu" else nn.relu
 
         outs = []
         for src, src2 in zip(srcs, src2s):
             src = norm1(src + drop(src2))
-            ffn = lin2(drop(nn.relu(lin1(src))))
+            ffn = lin2(drop(act(lin1(src))))
             outs.append(norm2(src + drop(ffn)))
         return outs
 

@@ -68,6 +68,17 @@ def _register_builtins():
         ),
         name="MSDeformAttnPixelDecoderMaskFinerProj",
     )
+    from .maskfiner import ProjPixelDecoderMaskFiner
+
+    SEM_SEG_HEADS_REGISTRY.register(
+        ProjPixelDecoderMaskFiner, name="ProjMaskFinerOracleTeacher"
+    )
+    SEM_SEG_HEADS_REGISTRY.register(
+        lambda **kw: MSDeformAttnPixelDecoderMaskFiner(
+            **{**kw, "activation": "lrelu"}
+        ),
+        name="MSDeformAttnPixelDecoderMaskFinerOracleTeacher",
+    )
     TRANSFORMER_DECODER_REGISTRY.register(
         transformer_decoder_from_config, name="MultiScaleMaskedTransformerDecoder"
     )
@@ -87,6 +98,15 @@ def _register_builtins():
         maskfiner_oracle_teacher_from_config, name="MaskFinerOracleTeacher"
     )
     META_ARCH_REGISTRY.register(maskfiner_oracle_from_config, name="MaskFinerOracle")
+    # BB/SW are backbone-swap configurations of the same OT cascade
+    # (reference maskfiner_oracle_teacher_model_bb.py / _sw.py); the swap is
+    # driven by cfg.MODEL.MR.NAME which maskfiner_from_config already reads.
+    META_ARCH_REGISTRY.register(
+        maskfiner_oracle_teacher_from_config, name="MaskFinerOracleTeacherBB"
+    )
+    META_ARCH_REGISTRY.register(
+        maskfiner_oracle_teacher_from_config, name="MaskFinerOracleTeacherSW"
+    )
     BACKBONE_REGISTRY.register(
         lambda cfg: MixResMetaLoss(), name="MixResMetaLoss"
     )

@@ -61,17 +61,22 @@ class VisualizationDemo:
         import jax
         import jax.numpy as jnp
 
-        from autofocusformermod_tpu.models import (
-            maskformer_from_config, upsample_masks,
-        )
+        from autofocusformermod_tpu.models import upsample_masks
         from autofocusformermod_tpu.models.inference import semantic_inference
+        from autofocusformermod_tpu.models.registry import build_model
 
         self.cfg = cfg
-        self.model = maskformer_from_config(cfg)
+        # honor META_ARCHITECTURE (MaskFormer / MaskFiner* / swin variants)
+        self.model = build_model(cfg)
         self.min_size = cfg.INPUT.MIN_SIZE_TEST
         self.max_size = cfg.INPUT.MAX_SIZE_TEST
         self.div = cfg.MODEL.MASK_FORMER.SIZE_DIVISIBILITY
-        self.nc = cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES
+        if cfg.MODEL.META_ARCHITECTURE.startswith("MaskFiner"):
+            self.nc = cfg.MODEL.MR_SEM_SEG_HEAD.NUM_CLASSES
+            # the cascade needs the canvas divisible by the coarsest patch
+            self.div = max(self.div, max(cfg.MODEL.MR.PATCH_SIZES))
+        else:
+            self.nc = cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES
         self.colors = color_map(self.nc)
         self._variables = None
         self._jax = jax

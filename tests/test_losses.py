@@ -136,3 +136,19 @@ def test_set_criterion_grad_flows():
     assert np.isfinite(np.asarray(g_logits)).all()
     assert np.isfinite(np.asarray(g_masks)).all()
     assert float(jnp.abs(g_masks).sum()) > 0
+
+
+def test_point_sample_shared_matches_point_sample():
+    import jax
+    from autofocusformermod_tpu.losses.point_sample import (
+        point_sample, point_sample_shared,
+    )
+
+    key = jax.random.PRNGKey(3)
+    m, h, w, p = 7, 13, 11, 50
+    masks = jax.random.normal(key, (m, h, w))
+    # include out-of-range coords to exercise the zero-padding branch
+    coords = jax.random.uniform(jax.random.PRNGKey(4), (p, 2)) * 1.2 - 0.1
+    ref = point_sample(masks, jnp.broadcast_to(coords[None], (m, p, 2)))
+    got = point_sample_shared(masks, coords)
+    assert jnp.max(jnp.abs(ref - got)) < 1e-6

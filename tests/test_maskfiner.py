@@ -41,6 +41,11 @@ def tiny_maskfiner_cfg():
     cfg.MODEL.MR_SEM_SEG_HEAD.DEFORMABLE_TRANSFORMER_ENCODER_IN_FEATURES = [
         "res3", "res4",
     ]
+    # base-cascade names (maskfiner_R50_bs16_160k.yaml:5-21); the defaults
+    # carry the oracle-teacher combination
+    cfg.MODEL.MR_SEM_SEG_HEAD.NAME = "MaskPredictor"
+    cfg.MODEL.MR_SEM_SEG_HEAD.PIXEL_DECODER_NAME = "MSDeformAttnPixelDecoderMaskFiner"
+    cfg.MODEL.MASK_FINER.TRANSFORMER_DECODER_NAME = "MultiScaleMaskFinerTransformerDecoder"
     return cfg
 
 
@@ -166,3 +171,133 @@ def test_maskfiner_train_step_decreases_loss(cascade_out):
         losses.append(float(metrics["total_loss"]))
         assert np.isfinite(losses[-1])
     assert losses[-1] < losses[0], losses
+
+
+# ---------------- OracleTeacher cascade (Proj pixel decoders + dense OT
+# decoder + MLP upsampling heads) ----------------
+
+def _hier_upsample_ref(feats, poss, finest_shape):
+    """Numpy oracle mirroring the reference's finest-claims-first logic
+    (point_utils.py:611-659) but emitting the canonical raster order."""
+    H, W = finest_shape
+    L = len(feats)
+    b, _, C = feats[0].shape
+    dense = np.zeros((b, H * W, C), np.float32)
+    claimed = np.zeros((b, H * W), bool)
+    for i in reversed(range(L)):          # finest first, claim cells
+        r = 2 ** (L - 1 - i)
+        f, p = np.asarray(feats[i]), np.asarray(poss[i])
+        for bi in range(b):
+            for n in range(p.shape[1]):
+                x0, y0 = int(p[bi, n, 0]), int(p[bi, n, 1])
+                for dy in range(r):
+                    for dx in range(r):
+                        idx = (y0 + dy) * W + (x0 + dx)
+                        if 0 <= idx < H * W and not claimed[bi, idx]:
+                            dense[bi, idx] = f[bi, n]
+                            claimed[bi, idx] = True
+    return dense
+
+
+def test_hierarchical_upsample_dense_matches_reference_logic():
+    from autofocusformermod_tpu.models.maskfiner import hierarchical_upsample_dense
+
+    rng = np.random.default_rng(0)
+    H, W = 8, 8
+    # level 0 (coarse, r=2): 4x4 grid of tokens covering all; level 1 (fine,
+    # r=1): 20 tokens claiming cells over the coarse ones
+    c_pos = np.stack(np.meshgrid(np.arange(4), np.arange(4), indexing="ij"),
+                     -1)[..., ::-1].reshape(1, 16, 2) * 2
+    f_pos = rng.permutation(
+        np.stack(np.meshgrid(np.arange(8), np.arange(8), indexing="ij"),
+                 -1)[..., ::-1].reshape(64, 2)
+    )[:20].reshape(1, 20, 2)
+    feats = [jnp.asarray(rng.standard_normal((1, 16, 3)), jnp.float32),
+             jnp.asarray(rng.standard_normal((1, 20, 3)), jnp.float32)]
+    poss = [jnp.asarray(c_pos, jnp.float32), jnp.asarray(f_pos, jnp.float32)]
+    got = np.asarray(hierarchical_upsample_dense(feats, poss, (H, W)))
+    ref = _hier_upsample_ref(feats, poss, (H, W))
+    assert np.allclose(got, ref, atol=1e-6)
+
+
+def tiny_ot_cfg():
+    cfg = tiny_maskfiner_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "MaskFinerOracleTeacher"
+    cfg.MODEL.MR_SEM_SEG_HEAD.NAME = "MaskPredictorOracleTeacher"
+    cfg.MODEL.MR_SEM_SEG_HEAD.PIXEL_DECODER_NAME = [
+        "ProjMaskFinerOracleTeacher", "ProjMaskFinerOracleTeacher",
+        "MSDeformAttnPixelDecoderMaskFinerOracleTeacher",
+    ]
+    cfg.MODEL.MASK_FINER.TRANSFORMER_DECODER_NAME = (
+        "MultiScaleMaskFinerTransformerDecoderOracleTeacher"
+    )
+    cfg.MODEL.MASK_FINER.ORACLE_TEACHER_RATIO = 0.8
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def ot_cascade_out():
+    from autofocusformermod_tpu.models.meta_arch_variants import (
+        maskfiner_oracle_teacher_from_config,
+    )
+
+    cfg = tiny_ot_cfg()
+    model = maskfiner_oracle_teacher_from_config(cfg)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0, 255, (2, 64, 64, 3)), jnp.float32)
+    gt = jnp.asarray(rng.integers(0, 7, (2, 64, 64)), jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "oracle": jax.random.PRNGKey(1)},
+        x, gt, train=False,
+    )
+    out = model.apply(
+        variables, x, gt, train=True, rngs={"oracle": jax.random.PRNGKey(2)},
+    )
+    return cfg, model, variables, x, gt, out
+
+
+def test_ot_cascade_structure(ot_cascade_out):
+    cfg, model, variables, x, gt, out = ot_cascade_out
+    q = cfg.MODEL.MASK_FINER.NUM_OBJECT_QUERIES
+    nc = cfg.MODEL.MR_SEM_SEG_HEAD.NUM_CLASSES
+    assert out["pred_logits"].shape == (2, q, nc + 1)
+    # final-stage dense masks on the min-patch canvas (64/4 = 16)
+    assert out["pred_masks"].shape == (2, q, 16, 16)
+    # early OT stages contribute NO aux outputs; final stage contributes
+    # DEC_LAYERS[-1]-1 of them (mask_predictor_oracle_teacher.py:116-119)
+    assert len(out["aux_outputs"]) == cfg.MODEL.MASK_FINER.DEC_LAYERS[-1] - 1
+    # one upsampling pred/oracle pair per non-final stage
+    assert len(out["upsampling_preds"]) == 2
+    assert len(out["upsampling_oracles"]) == 2
+    for p, o in zip(out["upsampling_preds"], out["upsampling_oracles"]):
+        assert p.shape == o.shape
+        assert bool(jnp.isfinite(p).all()) and bool(jnp.isfinite(o).all())
+
+
+def test_ot_cascade_train_step(ot_cascade_out):
+    from autofocusformermod_tpu.engine.optimizer import build_optimizer
+    from autofocusformermod_tpu.parallel import (
+        TrainState, make_maskfiner_train_step,
+    )
+
+    cfg, model, variables, x, gt, _ = ot_cascade_out
+    rng = np.random.default_rng(2)
+    t = 3
+    batch = {
+        "image": x,
+        "sem_seg": gt,
+        "labels": jnp.asarray(rng.integers(0, 7, (2, t)), jnp.int32),
+        "masks": jnp.asarray(rng.integers(0, 2, (2, t, 64, 64)), jnp.float32),
+        "valid": jnp.ones((2, t), bool),
+    }
+    tx = build_optimizer(cfg, variables["params"])
+    state = TrainState.create(
+        variables["params"], variables.get("batch_stats", {}), tx
+    )
+    step = make_maskfiner_train_step(
+        model, 7, needs_sem_seg_gt=True, num_points=64, donate=False,
+    )
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert "loss_upsampling" in metrics
+    assert np.isfinite(float(metrics["loss_upsampling"]))
