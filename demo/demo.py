@@ -54,6 +54,74 @@ def color_map(n: int) -> np.ndarray:
     return rng.integers(40, 255, size=(n, 3), dtype=np.uint8)
 
 
+class AsyncPredictor:
+    """Ordered asynchronous prediction pipeline (reference
+    demo/predictor.py:137-206).  The reference spawns one process per GPU;
+    here one worker THREAD suffices: JAX dispatch is already asynchronous,
+    so host pre/post-processing in the caller overlaps device compute while
+    the worker keeps the accelerator queue fed.
+
+    put(image) enqueues; get() returns results in submission order;
+    __call__(image) is the synchronous convenience path."""
+
+    class _StopToken:
+        pass
+
+    def __init__(self, predict_fn, buffer_size: int = 3):
+        import queue
+        import threading
+
+        self._predict = predict_fn
+        self._tasks = queue.Queue(maxsize=buffer_size)
+        self._results = queue.Queue()
+        self._put_idx = 0
+        self._get_idx = 0
+        self._result_buf = {}
+
+        def _worker():
+            while True:
+                task = self._tasks.get()
+                if isinstance(task, AsyncPredictor._StopToken):
+                    break
+                idx, data = task
+                try:
+                    self._results.put((idx, self._predict(data)))
+                except Exception as e:  # surface errors at get()
+                    self._results.put((idx, e))
+
+        self._thread = threading.Thread(target=_worker, daemon=True)
+        self._thread.start()
+
+    def put(self, image):
+        self._put_idx += 1
+        self._tasks.put((self._put_idx, image))
+
+    def get(self):
+        self._get_idx += 1
+        while self._get_idx not in self._result_buf:
+            idx, res = self._results.get()
+            self._result_buf[idx] = res
+        res = self._result_buf.pop(self._get_idx)
+        if isinstance(res, Exception):
+            raise res
+        return res
+
+    def __len__(self):
+        return self._put_idx - self._get_idx
+
+    def __call__(self, image):
+        self.put(image)
+        return self.get()
+
+    def shutdown(self):
+        self._tasks.put(AsyncPredictor._StopToken())
+        self._thread.join(timeout=10)
+
+    @property
+    def default_buffer_size(self):
+        return self._tasks.maxsize
+
+
 class VisualizationDemo:
     """Reference demo/predictor.py:19-73 equivalent."""
 
@@ -149,14 +217,32 @@ def main():
 
     from PIL import Image
 
-    for p in paths:
-        img = np.asarray(Image.open(p).convert("RGB"))
+    if len(paths) > 1:
+        # pipeline prediction with IO/visualization (predictor.py:209-220)
+        pred_async = AsyncPredictor(demo.run_on_image)
+        imgs = []
         t0 = time.perf_counter()
-        pred = demo.run_on_image(img)
-        vis = demo.visualize(img, pred, blur=args.blur)
-        out_path = os.path.join(args.output, os.path.basename(p))
-        Image.fromarray(vis).save(out_path)
-        print(f"{p}: {time.perf_counter() - t0:.2f}s -> {out_path}")
+        for p in paths:
+            img = np.asarray(Image.open(p).convert("RGB"))
+            imgs.append((p, img))
+            pred_async.put(img)
+        for p, img in imgs:
+            pred = pred_async.get()
+            vis = demo.visualize(img, pred, blur=args.blur)
+            out_path = os.path.join(args.output, os.path.basename(p))
+            Image.fromarray(vis).save(out_path)
+            print(f"{p} -> {out_path}")
+        pred_async.shutdown()
+        print(f"{len(paths)} images in {time.perf_counter() - t0:.2f}s")
+    else:
+        for p in paths:
+            img = np.asarray(Image.open(p).convert("RGB"))
+            t0 = time.perf_counter()
+            pred = demo.run_on_image(img)
+            vis = demo.visualize(img, pred, blur=args.blur)
+            out_path = os.path.join(args.output, os.path.basename(p))
+            Image.fromarray(vis).save(out_path)
+            print(f"{p}: {time.perf_counter() - t0:.2f}s -> {out_path}")
 
 
 if __name__ == "__main__":
