@@ -67,6 +67,11 @@ class Trainer:
             num_points=cfg.MODEL.MASK_FORMER.TRAIN_NUM_POINTS,
             oversample_ratio=cfg.MODEL.MASK_FORMER.OVERSAMPLE_RATIO,
             importance_sample_ratio=cfg.MODEL.MASK_FORMER.IMPORTANCE_SAMPLE_RATIO,
+            metaloss_weight=(
+                cfg.MODEL.MASK_FORMER.METALOSS_WEIGHT
+                if cfg.MODEL.META_ARCHITECTURE == "MaskFormerML" else 0.0
+            ),
+            ml_min_patch_size=min(cfg.MODEL.MRML.PATCH_SIZES),
         )
 
         self.checkpointer = Checkpointer(os.path.join(cfg.OUTPUT_DIR, "checkpoints"))

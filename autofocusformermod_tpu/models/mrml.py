@@ -186,6 +186,117 @@ class MixResMetaLoss(nn.Module):
         return outs
 
 
+class MaskFormerML(nn.Module):
+    """MaskFormer with the MixResMetaLoss backbone (maskformer_model_ml.py:
+    24-229): the standard pixel/mask decoder head runs on the mixed-scale
+    point cloud, and the backbone's per-scale metaloss predictions are
+    surfaced for L1 supervision against the actual segmentation error."""
+
+    backbone: MixResMetaLoss
+    head: nn.Module
+    pixel_mean: Sequence[float] = (123.675, 116.28, 103.53)
+    pixel_std: Sequence[float] = (58.395, 57.12, 57.375)
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, train: bool = False) -> Dict:
+        x = (images - jnp.asarray(self.pixel_mean, images.dtype)) / jnp.asarray(
+            self.pixel_std, images.dtype
+        )
+        feats = self.backbone(x, train)
+        out = self.head(feats, deterministic=not train)
+        n = self.backbone.n_scales - 1
+        out["metaloss_preds"] = tuple(feats[f"metaloss{i}"] for i in range(n))
+        out["metaloss_pos"] = tuple(feats[f"metaloss{i}_pos"] for i in range(n))
+        return out
+
+
+def compute_meta_loss(
+    outputs: Dict,
+    tgt_labels: jnp.ndarray,
+    tgt_masks: jnp.ndarray,
+    tgt_valid: jnp.ndarray,
+    min_patch_size: int,
+) -> jnp.ndarray:
+    """The ML meta-loss target (maskformer_model_ml.py:424-477): per-pixel CE
+    of the (detached) soft semantic prediction against the composed GT label
+    map, pooled per min patch, L1 against each scale's metaloss prediction
+    over its token footprint; mean over scales.
+
+    tgt_labels (b,t) int32 / tgt_masks (b,t,H,W) / tgt_valid (b,t)."""
+    preds = outputs["metaloss_preds"]
+    poss = outputs["metaloss_pos"]
+    n_scales = len(preds) + 1
+    H, W = tgt_masks.shape[-2:]
+    v = tgt_valid.astype(jnp.float32)
+    label_map = jnp.einsum(
+        "bqhw,bq->bhw", tgt_masks * v[:, :, None, None],
+        tgt_labels.astype(jnp.float32) * v,
+    ).astype(jnp.int32)                                        # (b, H, W)
+    nc = outputs["pred_logits"].shape[-1] - 1
+    # semantic GT masks are disjoint so the einsum reproduces the class id;
+    # clamp to stay in-range if instance masks overlap
+    label_map = jnp.clip(label_map, 0, nc - 1)
+
+    mask_cls = jax.lax.stop_gradient(outputs["pred_logits"])
+    mask_pred = jax.lax.stop_gradient(outputs["pred_masks"])
+    b, q = mask_cls.shape[:2]
+    mask_pred = jax.image.resize(
+        mask_pred, (b, q, H, W), method="bilinear"
+    )
+    cls = jax.nn.softmax(mask_cls, axis=-1)[..., :-1]          # (b, q, nc)
+    semseg = jnp.einsum(
+        "bqc,bqhw->bchw", cls, jax.nn.sigmoid(mask_pred)
+    )
+    # reference F.cross_entropy treats semseg as logits
+    logp = jax.nn.log_softmax(semseg, axis=1)
+    ce = -jnp.take_along_axis(logp, label_map[:, None], axis=1)[:, 0]  # (b,H,W)
+
+    p = min_patch_size
+    emap = ce.reshape(b, H // p, p, W // p, p).mean(axis=(2, 4))       # (b,Hm,Wm)
+
+    losses = [
+        metaloss_l1(pred, pos, emap, 2 ** (n_scales - 1 - i))
+        for i, (pred, pos) in enumerate(zip(preds, poss))
+    ]
+    return jnp.mean(jnp.stack(losses))
+
+
+def mixres_metaloss_from_config(cfg) -> MixResMetaLoss:
+    mrml = cfg.MODEL.MRML
+    return MixResMetaLoss(
+        n_scales=mrml.NUM_SCALES,
+        patch_sizes=tuple(mrml.PATCH_SIZES),
+        embed_dims=tuple(mrml.EMBED_DIM),
+        depths=tuple(mrml.DEPTHS),
+        num_heads=tuple(mrml.NUM_HEADS),
+        mlp_ratio=mrml.MLP_RATIO,
+        split_ratio=mrml.SPLIT_RATIO,
+        upscale_ratio=mrml.UPSCALE_RATIO,
+    )
+
+
+def maskformer_ml_from_config(cfg) -> MaskFormerML:
+    """MaskFormerML.from_config (maskformer_model_ml.py:104-179)."""
+    from .maskformer import MaskFormerHead
+    from .pixel_decoder import pixel_decoder_from_config
+    from .transformer_decoder import transformer_decoder_from_config
+
+    backbone = mixres_metaloss_from_config(cfg)
+    pixel_decoder = pixel_decoder_from_config(cfg, {})
+    if cfg.MODEL.SEM_SEG_HEAD.PIXEL_DECODER_NAME == "MSDeformAttnPixelDecoderUp":
+        pixel_decoder = pixel_decoder.clone(mask_on_full_grid=True)
+    predictor = transformer_decoder_from_config(
+        cfg, cfg.MODEL.SEM_SEG_HEAD.CONVS_DIM
+    )
+    head = MaskFormerHead(pixel_decoder=pixel_decoder, predictor=predictor)
+    return MaskFormerML(
+        backbone=backbone,
+        head=head,
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+    )
+
+
 def metaloss_l1(
     pred_metaloss: jnp.ndarray,
     pos_xy: jnp.ndarray,

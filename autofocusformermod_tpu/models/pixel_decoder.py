@@ -259,6 +259,10 @@ class MSDeformAttnPixelDecoder(nn.Module):
     shepard_power: float = 3.0
     shepard_power_learnable: bool = True
     maskformer_num_feature_levels: int = 3
+    # MSDeformAttnPixelDecoderUp (msdeformattn_up_pc.py:528-547): mask
+    # features come from ALL levels Shepard-upsampled onto the full finest
+    # grid instead of the finest level's tokens alone.
+    mask_on_full_grid: bool = False
 
     @nn.compact
     def __call__(self, features: Dict, deterministic: bool = True):
@@ -295,6 +299,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
 
         last_pos = poss[-1]
         last_ss = spatial_shapes[-1]
+        lvl_shapes = list(spatial_shapes)
         spatial_shapes = list(spatial_shapes) + [grid_hw]
 
         out = srcs
@@ -319,6 +324,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
             - math.log2(self.common_stride)
         )
         out = list(out)
+        fpn_poss = []
         for idx, f in enumerate(self.in_features[:num_fpn_levels][::-1]):
             x = features[f].astype(jnp.float32)
             pos = features[f + "_pos"].astype(jnp.float32)
@@ -331,13 +337,28 @@ class MSDeformAttnPixelDecoder(nn.Module):
             y = nn.LayerNorm(name=f"layer_{idx + 1}_norm")(y)
             y = nn.relu(y)
             last_pos, last_ss = pos, ss
+            fpn_poss.append((pos, ss))
             out.append(y)
 
         multi_scale_features = out[: self.maskformer_num_feature_levels]
-        mask_features = nn.Dense(self.mask_dim, name="mask_features")(out[-1])
+        if self.mask_on_full_grid:
+            # Up variant: Shepard all levels onto the full finest grid and
+            # read mask features off the dense canvas (msdeformattn_up_pc.py)
+            scaled = [
+                scale_pos(p, s, grid_hw, no_bias=True)
+                for p, s in list(zip(poss, lvl_shapes)) + fpn_poss
+            ]
+            all_pos = jnp.concatenate(scaled, axis=1)
+            all_feat = jnp.concatenate(out, axis=1)
+            full_feat = upsample_feature_shepard(grid_pos, all_pos, all_feat)
+            mask_features = nn.Dense(self.mask_dim, name="mask_features")(full_feat)
+            mf_pos = grid_pos
+        else:
+            mask_features = nn.Dense(self.mask_dim, name="mask_features")(out[-1])
+            mf_pos = last_pos
         return (
             mask_features,
-            last_pos,
+            mf_pos,
             transformer_out,
             multi_scale_features,
             poss[: self.maskformer_num_feature_levels],

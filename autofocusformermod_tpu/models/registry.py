@@ -90,8 +90,16 @@ def _register_builtins():
         maskfiner_oracle_teacher_from_config,
         maskformer_swin_from_config,
     )
-    from .mrml import MixResMetaLoss
+    from .mrml import MixResMetaLoss, maskformer_ml_from_config, mixres_metaloss_from_config
     from .updown import UpDownBackbone
+
+    META_ARCH_REGISTRY.register(maskformer_ml_from_config, name="MaskFormerML")
+    SEM_SEG_HEADS_REGISTRY.register(
+        lambda cfg, fc: pixel_decoder_from_config(cfg, fc).clone(
+            mask_on_full_grid=True
+        ),
+        name="MSDeformAttnPixelDecoderUp",
+    )
 
     META_ARCH_REGISTRY.register(maskformer_swin_from_config, name="MaskFormerSwin")
     META_ARCH_REGISTRY.register(
@@ -108,14 +116,18 @@ def _register_builtins():
         maskfiner_oracle_teacher_from_config, name="MaskFinerOracleTeacherSW"
     )
     BACKBONE_REGISTRY.register(
-        lambda cfg: MixResMetaLoss(), name="MixResMetaLoss"
+        mixres_metaloss_from_config, name="MixResMetaLoss"
     )
     BACKBONE_REGISTRY.register(
-        lambda cfg: MixResMetaLoss(mean_activation_scores=True),
+        lambda cfg: mixres_metaloss_from_config(cfg).clone(
+            mean_activation_scores=True
+        ),
         name="MixResMeanAct",
     )
     BACKBONE_REGISTRY.register(
-        lambda cfg: MixResMetaLoss(use_cluster_attention=True),
+        lambda cfg: mixres_metaloss_from_config(cfg).clone(
+            use_cluster_attention=True
+        ),
         name="MRMLNeighbour",
     )
     BACKBONE_REGISTRY.register(

@@ -50,6 +50,8 @@ def make_train_step(
     num_points: int = 12544,
     oversample_ratio: float = 3.0,
     importance_sample_ratio: float = 0.75,
+    metaloss_weight: float = 0.0,
+    ml_min_patch_size: int = 4,
     donate: bool = True,
 ) -> Callable:
     """Returns train_step(state, batch, key) -> (state, metrics).
@@ -83,6 +85,15 @@ def make_train_step(
             oversample_ratio=oversample_ratio,
             importance_sample_ratio=importance_sample_ratio,
         )
+        if metaloss_weight > 0 and "metaloss_preds" in outputs:
+            from ..models.mrml import compute_meta_loss
+
+            ml = compute_meta_loss(
+                outputs, batch["labels"], batch["masks"], batch["valid"],
+                ml_min_patch_size,
+            )
+            losses["meta_loss"] = ml
+            total = total + metaloss_weight * ml
         return total, (losses, mutated["batch_stats"])
 
     def train_step(state: TrainState, batch, key) -> Tuple[TrainState, Dict]:
