@@ -119,6 +119,32 @@ def register_coco(root: str) -> None:
 
 CITYSCAPES_THING_IDS = {11, 12, 13, 14, 15, 16, 17, 18}
 
+# Cityscapes labelId -> contiguous trainId (labels with trainId < 255 only).
+# The panoptic GT json stores raw labelIds (0-33); the model/config uses the
+# 19 contiguous trainIds (NUM_CLASSES=19), so segments must be remapped here —
+# mirrors detectron2's cityscapes_panoptic _convert_category_id.
+CITYSCAPES_LABELID_TO_TRAINID = {
+    7: 0,   # road
+    8: 1,   # sidewalk
+    11: 2,  # building
+    12: 3,  # wall
+    13: 4,  # fence
+    17: 5,  # pole
+    19: 6,  # traffic light
+    20: 7,  # traffic sign
+    21: 8,  # vegetation
+    22: 9,  # terrain
+    23: 10,  # sky
+    24: 11,  # person
+    25: 12,  # rider
+    26: 13,  # car
+    27: 14,  # truck
+    28: 15,  # bus
+    31: 16,  # train
+    32: 17,  # motorcycle
+    33: 18,  # bicycle
+}
+
 
 def load_cityscapes_panoptic(image_dir: str, gt_json: str, gt_dir: str) -> List[Dict]:
     with open(gt_json) as f:
@@ -126,6 +152,11 @@ def load_cityscapes_panoptic(image_dir: str, gt_json: str, gt_dir: str) -> List[
     out = []
     for ann in data["annotations"]:
         city = ann["image_id"].rsplit("_", 2)[0]
+        segments = [
+            {**s, "category_id": CITYSCAPES_LABELID_TO_TRAINID[s["category_id"]]}
+            for s in ann["segments_info"]
+            if s["category_id"] in CITYSCAPES_LABELID_TO_TRAINID
+        ]
         out.append(
             {
                 "file_name": os.path.join(
@@ -135,7 +166,7 @@ def load_cityscapes_panoptic(image_dir: str, gt_json: str, gt_dir: str) -> List[
                 "height": 1024,
                 "width": 2048,
                 "pan_seg_file_name": os.path.join(gt_dir, ann["file_name"]),
-                "segments_info": ann["segments_info"],
+                "segments_info": segments,
             }
         )
     return out

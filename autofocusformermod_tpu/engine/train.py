@@ -54,7 +54,7 @@ class Trainer:
         )()
         self.tx = build_optimizer(cfg, variables["params"])
         self.state = TrainState.create(
-            variables["params"], variables["batch_stats"], self.tx
+            variables["params"], variables.get("batch_stats", {}), self.tx
         )
 
         self.step_fn = make_train_step(
@@ -307,7 +307,11 @@ class Trainer:
             if 0 <= t < nc:
                 is_thing[t] = True
         evaluator = InstanceSegEvaluator(nc)
-        mapper = MaskFormerInstanceDatasetMapper(is_train=False)
+        mapper = MaskFormerInstanceDatasetMapper(
+            is_train=False,
+            min_size_test=cfg.INPUT.MIN_SIZE_TEST,
+            max_size_test=cfg.INPUT.MAX_SIZE_TEST,
+        )
         variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
         dataset = DatasetCatalog.get(dataset_name)
         for d, sample in zip(

@@ -40,12 +40,6 @@ class PanopticEvaluator:
         gt_cat = {
             s["id"]: s["category_id"] for s in gt_info if not s.get("iscrowd", 0)
         }
-        crowd_ids = {s["id"] for s in gt_info if s.get("iscrowd", 0)}
-
-        void_mask = gt_seg == VOID
-        for cid in crowd_ids:
-            void_mask |= gt_seg == cid
-
         # joint histogram of (gt_id, pred_id) pairs
         combined = gt_seg.astype(np.int64) * (2**32) + pred_seg.astype(np.int64)
         ids, counts = np.unique(combined, return_counts=True)
@@ -59,9 +53,18 @@ class PanopticEvaluator:
         pred_area = {}
         for pid in pred_cat:
             pred_area[pid] = int((pred_seg == pid).sum())
-        void_inter = {
-            pid: inter.get((0, pid), 0)
-            + sum(inter.get((cid, pid), 0) for cid in crowd_ids)
+        # panopticapi semantics: the match union discounts ONLY true-VOID
+        # pixels; the FP check additionally discounts crowd regions of the
+        # prediction's own category (panopticapi pq_compute_single_core).
+        crowd_cat = {s["id"]: s["category_id"] for s in gt_info if s.get("iscrowd", 0)}
+        void_only_inter = {pid: inter.get((0, pid), 0) for pid in pred_cat}
+        fp_void_inter = {
+            pid: void_only_inter[pid]
+            + sum(
+                inter.get((cid, pid), 0)
+                for cid, ccat in crowd_cat.items()
+                if ccat == pred_cat[pid]
+            )
             for pid in pred_cat
         }
 
@@ -72,7 +75,7 @@ class PanopticEvaluator:
             if gt_cat[gid] != pred_cat[pid]:
                 continue
             union = (
-                gt_area[gid] + pred_area[pid] - c - void_inter.get(pid, 0)
+                gt_area[gid] + pred_area[pid] - c - void_only_inter.get(pid, 0)
             )
             iou = c / union if union > 0 else 0.0
             if iou > 0.5:
@@ -88,8 +91,8 @@ class PanopticEvaluator:
         for pid, cat in pred_cat.items():
             if pid in matched_pred:
                 continue
-            # predictions mostly covering void don't count as FP
-            if pred_area[pid] > 0 and void_inter.get(pid, 0) / pred_area[pid] > 0.5:
+            # predictions mostly covering void/same-category-crowd don't count as FP
+            if pred_area[pid] > 0 and fp_void_inter.get(pid, 0) / pred_area[pid] > 0.5:
                 continue
             self.fp[cat] += 1
 

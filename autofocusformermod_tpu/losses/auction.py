@@ -112,6 +112,15 @@ def auction_lsap(cost: jnp.ndarray, phases: int = 6, max_iters: int = 20000):
                 benefit, price, owner, assigned, eps, max_iters
             )
             eps = eps / jnp.asarray(8.0)
+        # Repair: if the final phase exited on max_iters, some persons can be
+        # left unassigned (-1), which downstream gathers would clamp silently.
+        # Give each such person a distinct free query (greedy fill) so the
+        # result is always a valid permutation, merely suboptimal.
+        used_at = jnp.where(assigned >= 0, assigned, Q)
+        used = jnp.zeros((Q,), bool).at[used_at].set(True, mode="drop")
+        free_first = jnp.argsort(used, stable=True)      # free queries lead
+        un_rank = jnp.cumsum(assigned < 0) - 1           # j-th unassigned person
+        assigned = jnp.where(assigned < 0, free_first[un_rank], assigned)
         return assigned[:T]
 
     return jax.vmap(solve)(cost)

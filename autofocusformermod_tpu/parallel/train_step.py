@@ -94,7 +94,7 @@ def make_train_step(
             )
             losses["meta_loss"] = ml
             total = total + metaloss_weight * ml
-        return total, (losses, mutated["batch_stats"])
+        return total, (losses, mutated.get("batch_stats", batch_stats))
 
     def train_step(state: TrainState, batch, key) -> Tuple[TrainState, Dict]:
         (total, (losses, new_bs)), grads = jax.value_and_grad(

@@ -112,3 +112,32 @@ def test_rle_decode_uncompressed():
     m = rle_decode(rle)
     assert m.shape == (2, 3)
     assert m.reshape(-1, order="F").tolist() == [0, 1, 1, 0, 0, 0]
+
+
+def test_cityscapes_panoptic_labelid_remap(tmp_path):
+    """segments_info category_ids must arrive as contiguous trainIds, not raw
+    cityscapes labelIds (reference uses detectron2's _convert_category_id)."""
+    import json
+
+    from autofocusformermod_tpu.data.datasets_coco import (
+        CITYSCAPES_LABELID_TO_TRAINID,
+        load_cityscapes_panoptic,
+    )
+
+    ann = {
+        "image_id": "frankfurt_000000_000294",
+        "file_name": "frankfurt_000000_000294_gtFine_panoptic.png",
+        "segments_info": [
+            {"id": 1, "category_id": 7, "iscrowd": 0, "area": 10},   # road -> 0
+            {"id": 2, "category_id": 26, "iscrowd": 0, "area": 10},  # car -> 13
+            {"id": 3, "category_id": 4, "iscrowd": 0, "area": 10},   # static: dropped
+        ],
+    }
+    gt_json = tmp_path / "pan.json"
+    gt_json.write_text(json.dumps({"annotations": [ann]}))
+    out = load_cityscapes_panoptic(str(tmp_path), str(gt_json), str(tmp_path))
+    segs = out[0]["segments_info"]
+    assert [s["category_id"] for s in segs] == [0, 13]
+    assert all(
+        0 <= v <= 18 for v in CITYSCAPES_LABELID_TO_TRAINID.values()
+    ) and len(CITYSCAPES_LABELID_TO_TRAINID) == 19

@@ -94,3 +94,46 @@ def test_instance_rle_roundtrip():
     rng = np.random.default_rng(0)
     m = rng.uniform(size=(13, 17)) > 0.6
     np.testing.assert_array_equal(rle_decode_bool(rle_encode(m)), m)
+
+
+def test_panoptic_crowd_fp_discount_same_category_only():
+    """panopticapi: unmatched predictions mostly covering a crowd region are
+    discounted as FP only when the crowd has the prediction's own category."""
+    import numpy as np
+
+    # gt: segment 1 = crowd of category 0 covering left half; right half void
+    gt = np.zeros((4, 8), np.int32)
+    gt[:, :4] = 1
+    gt_info = [{"id": 1, "category_id": 0, "isthing": True, "iscrowd": 1}]
+
+    # prediction A: category 0 over the crowd -> discounted, no FP
+    pred = np.zeros((4, 8), np.int32)
+    pred[:, :4] = 7
+    ev = PanopticEvaluator(thing_ids={0, 1}, num_classes=2)
+    ev.process(pred, [{"id": 7, "category_id": 0, "isthing": True}], gt, gt_info)
+    assert ev.fp.sum() == 0 and ev.tp.sum() == 0
+
+    # prediction B: category 1 over the same crowd -> counted as FP
+    ev2 = PanopticEvaluator(thing_ids={0, 1}, num_classes=2)
+    ev2.process(pred, [{"id": 7, "category_id": 1, "isthing": True}], gt, gt_info)
+    assert ev2.fp[1] == 1
+
+
+def test_panoptic_union_ignores_crowd_discount():
+    """The match union subtracts only true-VOID intersection (panopticapi),
+    not crowd intersections: a pred half-on-gt/half-on-crowd must NOT be
+    upgraded to a match by discounting the crowd half from the union."""
+    import numpy as np
+
+    gt = np.zeros((4, 8), np.int32)
+    gt[:, :4] = 1          # real segment, category 0
+    gt[:, 4:] = 2          # crowd, category 0
+    gt_info = [
+        {"id": 1, "category_id": 0, "isthing": True},
+        {"id": 2, "category_id": 0, "isthing": True, "iscrowd": 1},
+    ]
+    pred = np.full((4, 8), 7, np.int32)  # one pred covering everything
+    ev = PanopticEvaluator(thing_ids={0}, num_classes=1)
+    ev.process(pred, [{"id": 7, "category_id": 0, "isthing": True}], gt, gt_info)
+    # IoU = 16 / (16 + 32 - 16) = 0.5, not > 0.5 -> no TP
+    assert ev.tp.sum() == 0
