@@ -90,3 +90,76 @@ class ConvNeXtV2(nn.Module):
                 # scale ids per token)
                 outs[f"res{i + 2}_scale"] = jnp.full((b, h * w), float(i), jnp.float32)
         return outs
+
+
+class ConvNeXtV2Stage(nn.Module):
+    """MixRes cascade-stage ConvNeXt (reference convnextv2.py CNVNXT2
+    :142-236): first layer stems the image with an overlap patch embed and
+    adds a sine PE; later layers LayerNorm+project the incoming token stream
+    and reshape it back to the full patch grid.  Blocks are plain ConvNeXtV2
+    blocks over that grid.  Output protocol matches MixResViT:
+    (outs dict, tokens_per_scale)."""
+
+    scale: int
+    n_scales: int
+    patch_size: int
+    min_patch_size: int
+    d_model: int
+    n_layers: int
+    in_channels: int = 3
+    first_layer: bool = True
+    out_feature: str = "res5"
+
+    @nn.compact
+    def __call__(self, im, features, features_pos, upsampling_mask,
+                 tokens_per_scale, train: bool = False):
+        from .mixres import (
+            OverlapPatchEmbedding,
+            get_2dpos_of_curr_ps_in_min_ps,
+        )
+        from .layers import position_embedding_sine
+
+        b, H, W, _ = im.shape
+        ps = self.patch_size
+        patched = (H // ps, W // ps)
+        min_patched = (H // self.min_patch_size, W // self.min_patch_size)
+
+        if self.first_layer:
+            x = OverlapPatchEmbedding(ps, self.d_model, name="stem")(im, train)
+            pos_np = get_2dpos_of_curr_ps_in_min_ps(
+                H, W, ps, self.min_patch_size, self.scale
+            )
+            pos = jnp.broadcast_to(
+                jnp.asarray(pos_np)[None], (b, pos_np.shape[0], 3)
+            )
+            tokens_per_scale = (pos_np.shape[0],)
+        else:
+            x = nn.LayerNorm(name="token_norm")(features)
+            if features.shape[-1] != self.d_model:
+                x = nn.Dense(self.d_model, name="token_projection")(x)
+            pos = features_pos
+            # reference :216 views the token stream back to the patch grid —
+            # only valid when the stream is the complete grid
+            assert x.shape[1] == patched[0] * patched[1], (
+                f"ConvNeXtV2Stage needs a full {patched} grid token stream, "
+                f"got n={x.shape[1]}"
+            )
+
+        grid = x.reshape(b, patched[0], patched[1], self.d_model)
+        for i in range(self.n_layers):
+            grid = ConvNeXtV2Block(self.d_model, name=f"stage_{i}")(
+                grid, deterministic=not train
+            )
+        x = grid.reshape(b, patched[0] * patched[1], self.d_model)
+        if self.first_layer:
+            x = x + position_embedding_sine(pos[:, :, 1:], self.d_model // 2)
+        x = nn.LayerNorm(name="norm")(x)
+
+        outs = {
+            self.out_feature: x,
+            self.out_feature + "_pos": pos[:, :, 1:],
+            self.out_feature + "_spatial_shape": patched,
+            self.out_feature + "_scale": pos[:, :, 0],
+            "min_spatial_shape": min_patched,
+        }
+        return outs, tokens_per_scale

@@ -551,117 +551,151 @@ class MaskFiner(nn.Module):
         }
 
 
+def build_backbone_indexed(cfg, li: int, name: str = None):
+    """Per-cascade-stage backbone from MODEL.MR.NAME[li] (reference
+    backbone/build.py:7-20 build_backbone_indexed).  Supports MixResViT,
+    MixResNeighbour, MixResNeighbourXAttn, and ConvNeXtV2 stages; ``name``
+    overrides the config dispatch (used by the direct registry entries)."""
+    mr = cfg.MODEL.MR
+    head = cfg.MODEL.MR_SEM_SEG_HEAD
+    n_scales = cfg.MODEL.MASK_FINER.NUM_RESOLUTION_SCALES
+    name = name or mr.NAME[li]
+    dpr = list(np.linspace(0, mr.DROP_PATH_RATE, sum(mr.DEPTHS)))
+    lo = sum(mr.DEPTHS[:li])
+    drop_path = tuple(dpr[lo : lo + mr.DEPTHS[li]])
+    common = dict(
+        scale=li,
+        n_scales=n_scales,
+        min_patch_size=mr.PATCH_SIZES[n_scales - 1],
+        d_model=mr.EMBED_DIM[li],
+        n_layers=mr.DEPTHS[li],
+        in_channels=3 if li == 0 else head.CONVS_DIM[li - 1],
+        first_layer=li == 0,
+    )
+    if name == "ConvNeXtV2":
+        from .convnextv2 import ConvNeXtV2Stage
+
+        return ConvNeXtV2Stage(
+            patch_size=mr.PATCH_SIZES[li],
+            out_feature=f"res{n_scales - li + 1}",
+            **common,
+        )
+    common.update(
+        n_heads=mr.NUM_HEADS[li],
+        mlp_ratio=mr.MLP_RATIO[li],
+        dropout=mr.DROP_RATE[li],
+        drop_path=drop_path,
+        layer_scale=mr.LAYER_SCALE,
+    )
+    if name == "MixResViT":
+        return MixResViT(
+            patch_size=mr.PATCH_SIZES[li],
+            num_register_tokens=mr.NUM_REGISTER_TOKENS,
+            out_feature=f"res{n_scales - li + 1}",
+            **common,
+        )
+    if name in ("MixResNeighbour", "MixResNeighbourXAttn"):
+        return MixResNeighbour(
+            patch_sizes=tuple(mr.PATCH_SIZES[: li + 1]),
+            cluster_size=mr.CLUSTER_SIZE[li],
+            nbhd_size=mr.NBHD_SIZE[li],
+            split_ratio=mr.SPLIT_RATIO[li],
+            upscale_ratio=mr.UPSCALE_RATIO[li],
+            attn_drop=mr.ATTN_DROP_RATE[li],
+            keep_old_scale=mr.KEEP_OLD_SCALE,
+            do_upsample=li > 0,
+            cross_attend_image=name == "MixResNeighbourXAttn",
+            **common,
+        )
+    raise KeyError(f"unknown cascade-stage backbone {name!r}")
+
+
+def build_stage_pixel_decoder(cfg, li: int, final: bool, ot_predictor: bool):
+    """Per-stage pixel decoder (reference pixel_decoder/build.py
+    build_pixel_decoder_indexed): li indexes the per-scale config lists."""
+    mfr = cfg.MODEL.MASK_FINER
+    head = cfg.MODEL.MR_SEM_SEG_HEAD
+    all_in_features = list(head.IN_FEATURES)
+    all_trans = list(head.DEFORMABLE_TRANSFORMER_ENCODER_IN_FEATURES)
+    in_features = all_in_features[-(li + 1):]
+    if final:
+        trans = all_trans
+    else:
+        trans = all_trans[len(all_trans) - li - 1:]
+    pd_names = head.PIXEL_DECODER_NAME
+    if isinstance(pd_names, str):
+        pd_names = [pd_names] * (li + 1)
+    pd_name = pd_names[li]
+    if pd_name == "ProjMaskFinerOracleTeacher":
+        return ProjPixelDecoderMaskFiner(
+            in_features=tuple(in_features),
+            conv_dim=head.CONVS_DIM[li],
+            mask_dim=mfr.MASK_DIM[li],
+            final_layer=final,
+            mask_decoder_all_levels=mfr.MASK_DECODER_ALL_LEVELS,
+        )
+    return MSDeformAttnPixelDecoderMaskFiner(
+        in_features=tuple(in_features),
+        transformer_in_features=tuple(trans),
+        conv_dim=head.CONVS_DIM[li],
+        mask_dim=mfr.MASK_DIM[li],
+        transformer_nheads=head.NHEADS[li],
+        transformer_dim_feedforward=int(head.CONVS_DIM[li] * head.MLP_RATIO[li]),
+        transformer_enc_layers=head.TRANSFORMER_ENC_LAYERS[li],
+        transformer_dropout=head.DROPOUT,
+        shepard_power=mfr.SHEPARD_POWER / 2.0,
+        shepard_power_learnable=mfr.SHEPARD_POWER_LEARNABLE,
+        maskformer_num_feature_levels=mfr.DECODER_LEVELS[li],
+        activation="lrelu" if pd_name.endswith("OracleTeacher") else "relu",
+        # the mask-features head is only skipped when the OT
+        # predictor really runs no decoder at this stage
+        final_layer=final or not (pd_name.endswith("OracleTeacher")
+                                  and ot_predictor),
+        mask_decoder_all_levels=mfr.MASK_DECODER_ALL_LEVELS,
+    )
+
+
+def build_stage_mask_decoder(cfg, li: int, final: bool):
+    """Per-stage transformer decoder (reference transformer_decoder/build.py
+    build_transformer_decoder_indexed)."""
+    mfr = cfg.MODEL.MASK_FINER
+    head = cfg.MODEL.MR_SEM_SEG_HEAD
+    dec_name = getattr(mfr, "TRANSFORMER_DECODER_NAME",
+                       "MultiScaleMaskFinerTransformerDecoder")
+    return MultiScaleMaskFinerTransformerDecoder(
+        in_channels=head.CONVS_DIM[li],
+        num_classes=head.NUM_CLASSES,
+        hidden_dim=mfr.HIDDEN_DIM[li],
+        num_queries=mfr.NUM_OBJECT_QUERIES,
+        nheads=mfr.NHEADS[li],
+        dim_feedforward=mfr.DIM_FEEDFORWARD[li],
+        dec_layers=mfr.DEC_LAYERS[li] - 1,
+        pre_norm=mfr.PRE_NORM,
+        mask_dim=mfr.MASK_DIM[li],
+        enforce_input_project=mfr.ENFORCE_INPUT_PROJ,
+        num_feature_levels=mfr.DECODER_LEVELS[li],
+        final_layer=final,
+        dense_mask_features=dec_name.endswith("OracleTeacher"),
+    )
+
+
 def maskfiner_from_config(cfg) -> MaskFiner:
     """Build the full cascade (mirrors MaskFiner.from_config + the per-stage
     builders: backbone/build.py:7-20, pixel_decoder build, decoder build)."""
     mr = cfg.MODEL.MR
     mfr = cfg.MODEL.MASK_FINER
     head = cfg.MODEL.MR_SEM_SEG_HEAD
-    n_scales = mfr.NUM_RESOLUTION_SCALES
     n_stages = len(mr.NAME)
-    all_in_features = list(head.IN_FEATURES)          # ["res2".."res5"]
-    all_trans = list(head.DEFORMABLE_TRANSFORMER_ENCODER_IN_FEATURES)
-
-    dpr = list(np.linspace(0, mr.DROP_PATH_RATE, sum(mr.DEPTHS)))
-
     predictors = []
     for li in range(n_stages):
-        lo = sum(mr.DEPTHS[:li])
-        drop_path = tuple(dpr[lo : lo + mr.DEPTHS[li]])
-        common = dict(
-            scale=li,
-            n_scales=n_scales,
-            min_patch_size=mr.PATCH_SIZES[n_scales - 1],
-            d_model=mr.EMBED_DIM[li],
-            n_layers=mr.DEPTHS[li],
-            n_heads=mr.NUM_HEADS[li],
-            mlp_ratio=mr.MLP_RATIO[li],
-            dropout=mr.DROP_RATE[li],
-            drop_path=drop_path,
-            layer_scale=mr.LAYER_SCALE,
-        )
-        if mr.NAME[li] == "MixResViT":
-            backbone = MixResViT(
-                patch_size=mr.PATCH_SIZES[li],
-                first_layer=li == 0,
-                in_channels=3 if li == 0 else head.CONVS_DIM[li - 1],
-                num_register_tokens=mr.NUM_REGISTER_TOKENS,
-                out_feature=f"res{n_scales - li + 1}",
-                **common,
-            )
-        else:
-            backbone = MixResNeighbour(
-                patch_sizes=tuple(mr.PATCH_SIZES[: li + 1]),
-                cluster_size=mr.CLUSTER_SIZE[li],
-                nbhd_size=mr.NBHD_SIZE[li],
-                split_ratio=mr.SPLIT_RATIO[li],
-                upscale_ratio=mr.UPSCALE_RATIO[li],
-                attn_drop=mr.ATTN_DROP_RATE[li],
-                in_channels=3 if li == 0 else head.CONVS_DIM[li - 1],
-                keep_old_scale=mr.KEEP_OLD_SCALE,
-                first_layer=li == 0,
-                do_upsample=li > 0,
-                **common,
-            )
-        in_features = all_in_features[-(li + 1):]
-        if li == n_stages - 1:
-            trans = all_trans
-        else:
-            trans = all_trans[len(all_trans) - li - 1:]
-
+        backbone = build_backbone_indexed(cfg, li)
         final = li == n_stages - 1
-        pd_names = head.PIXEL_DECODER_NAME
-        if isinstance(pd_names, str):
-            pd_names = [pd_names] * n_stages
-        pd_name = pd_names[li]
-        dec_name = getattr(mfr, "TRANSFORMER_DECODER_NAME",
-                           "MultiScaleMaskFinerTransformerDecoder")
         ot_predictor = head.NAME == "MaskPredictorOracleTeacher"
-
-        if pd_name == "ProjMaskFinerOracleTeacher":
-            pixel_decoder = ProjPixelDecoderMaskFiner(
-                in_features=tuple(in_features),
-                conv_dim=head.CONVS_DIM[li],
-                mask_dim=mfr.MASK_DIM[li],
-                final_layer=final,
-                mask_decoder_all_levels=mfr.MASK_DECODER_ALL_LEVELS,
-            )
-        else:
-            pixel_decoder = MSDeformAttnPixelDecoderMaskFiner(
-                in_features=tuple(in_features),
-                transformer_in_features=tuple(trans),
-                conv_dim=head.CONVS_DIM[li],
-                mask_dim=mfr.MASK_DIM[li],
-                transformer_nheads=head.NHEADS[li],
-                transformer_dim_feedforward=int(head.CONVS_DIM[li] * head.MLP_RATIO[li]),
-                transformer_enc_layers=head.TRANSFORMER_ENC_LAYERS[li],
-                transformer_dropout=head.DROPOUT,
-                shepard_power=mfr.SHEPARD_POWER / 2.0,
-                shepard_power_learnable=mfr.SHEPARD_POWER_LEARNABLE,
-                maskformer_num_feature_levels=mfr.DECODER_LEVELS[li],
-                activation="lrelu" if pd_name.endswith("OracleTeacher") else "relu",
-                # the mask-features head is only skipped when the OT
-                # predictor really runs no decoder at this stage
-                final_layer=final or not (pd_name.endswith("OracleTeacher")
-                                          and ot_predictor),
-                mask_decoder_all_levels=mfr.MASK_DECODER_ALL_LEVELS,
-            )
+        pixel_decoder = build_stage_pixel_decoder(cfg, li, final, ot_predictor)
         build_decoder = (not ot_predictor) or final or mfr.MASK_DECODER_ALL_LEVELS
-        mask_decoder = MultiScaleMaskFinerTransformerDecoder(
-            in_channels=head.CONVS_DIM[li],
-            num_classes=head.NUM_CLASSES,
-            hidden_dim=mfr.HIDDEN_DIM[li],
-            num_queries=mfr.NUM_OBJECT_QUERIES,
-            nheads=mfr.NHEADS[li],
-            dim_feedforward=mfr.DIM_FEEDFORWARD[li],
-            dec_layers=mfr.DEC_LAYERS[li] - 1,
-            pre_norm=mfr.PRE_NORM,
-            mask_dim=mfr.MASK_DIM[li],
-            enforce_input_project=mfr.ENFORCE_INPUT_PROJ,
-            num_feature_levels=mfr.DECODER_LEVELS[li],
-            final_layer=final,
-            dense_mask_features=dec_name.endswith("OracleTeacher"),
-        ) if build_decoder else None
+        mask_decoder = (
+            build_stage_mask_decoder(cfg, li, final) if build_decoder else None
+        )
         if ot_predictor:
             predictors.append(
                 MaskPredictorOracleTeacher(

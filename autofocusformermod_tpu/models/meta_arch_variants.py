@@ -137,5 +137,75 @@ def maskfiner_oracle_teacher_from_config(cfg) -> MaskFinerOracleTeacher:
 
 def maskfiner_oracle_from_config(cfg) -> MaskFinerOracleTeacher:
     """MaskFinerOracle: always use the oracle mask (teacher ratio 1)."""
-    m = maskfiner_oracle_teacher_from_config(cfg)
-    return m.replace(oracle_teacher_ratio=1.0) if hasattr(m, "replace") else m
+    return maskfiner_oracle_teacher_from_config(cfg).replace(
+        oracle_teacher_ratio=1.0
+    )
+
+
+class MaskFinerOracleTeacherBB(nn.Module):
+    """Backbone-based oracle-teacher model (reference
+    maskfiner_oracle_teacher_model_bb.py): ONE composite backbone
+    (UpDownBackbone — all 2n-1 MixRes stages inside, producing res2..res5 and
+    the upsampling pred/oracle supervision pairs) followed by a single
+    final-stage head (MaskFinerOTHead = final-index pixel decoder + final
+    transformer decoder, reference mask_finer_ot_head.py:88-112).
+
+    The SW variant (maskfiner_oracle_teacher_model_sw.py) is the same module
+    with sliding-window evaluation (TEST.SW_STRIDE/SW_CROP_SIZE) applied by
+    the engine at eval time."""
+
+    backbone: nn.Module
+    pixel_decoder: nn.Module
+    mask_decoder: nn.Module
+    n_scales: int = 4
+    pixel_mean: Sequence[float] = (123.675, 116.28, 103.53)
+    pixel_std: Sequence[float] = (58.395, 57.12, 57.375)
+
+    @nn.compact
+    def __call__(self, images, sem_seg_gt=None, train: bool = False) -> Dict:
+        x = (images - jnp.asarray(self.pixel_mean, images.dtype)) / jnp.asarray(
+            self.pixel_std, images.dtype
+        )
+        feats = self.backbone(x, sem_seg_gt, train=train)
+        (mask_features, mf_pos, ms_feats, ms_poss, ms_scales, finest,
+         input_shapes) = self.pixel_decoder(feats, deterministic=not train)
+        predictions, _ = self.mask_decoder(
+            ms_feats, ms_poss, mask_features, mf_pos, finest, input_shapes,
+            deterministic=not train,
+        )
+        n_up = self.n_scales - 1
+        preds = tuple(feats[f"upsampling_mask_pred_{i}"] for i in range(n_up))
+        oracles = (
+            tuple(feats[f"upsampling_mask_oracle_{i}"] for i in range(n_up))
+            if sem_seg_gt is not None
+            else ()
+        )
+        return {
+            "pred_logits": predictions["pred_logits"],
+            "pred_masks": predictions["pred_masks"],
+            "aux_outputs": tuple(predictions["aux_outputs"]),
+            "upsampling_preds": preds,
+            "upsampling_oracles": oracles,
+        }
+
+
+def maskfiner_oracle_teacher_bb_from_config(cfg) -> MaskFinerOracleTeacherBB:
+    """MaskFinerOracleTeacherBB/SW from config: composite backbone via
+    BACKBONE.NAME (UpDownBackbone for every reference updown config) + the
+    final-index pixel/mask decoders (mask_finer_ot_head.py from_config)."""
+    from .maskfiner import build_stage_mask_decoder, build_stage_pixel_decoder
+    from .registry import BACKBONE_REGISTRY
+
+    backbone = BACKBONE_REGISTRY.get(cfg.MODEL.BACKBONE.NAME)(cfg)
+    n_scales = cfg.MODEL.MASK_FINER.NUM_RESOLUTION_SCALES
+    final = n_scales - 1
+    return MaskFinerOracleTeacherBB(
+        backbone=backbone,
+        pixel_decoder=build_stage_pixel_decoder(
+            cfg, final, final=True, ot_predictor=False
+        ),
+        mask_decoder=build_stage_mask_decoder(cfg, final, final=True),
+        n_scales=n_scales,
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+    )

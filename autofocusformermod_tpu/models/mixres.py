@@ -403,7 +403,14 @@ class MixResNeighbour(nn.Module):
             pos_old = features_pos[:, :n_old]
             feat_curr = features[:, n_old:]
             pos_curr = features_pos[:, n_old:]
-            mask_curr = upsampling_mask[:, n_old:]
+            # the upsampling mask may cover the full stream (MaskFiner
+            # cascade: decoder disagreement over all tokens) or only the
+            # newest scale segment (UpDownBackbone: reference
+            # mixres_up_down.py:176 scores all_feat[0] only)
+            if upsampling_mask.shape[1] == n_curr:
+                mask_curr = upsampling_mask
+            else:
+                mask_curr = upsampling_mask[:, n_old:]
 
             k_split = max(1, int(n_curr * self.upscale_ratio))
             tok_split, pos_split, tok_keep, pos_keep = self._split_tokens(

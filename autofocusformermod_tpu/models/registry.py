@@ -40,7 +40,6 @@ META_ARCH_REGISTRY = Registry("META_ARCH")
 
 def _register_builtins():
     from .aff import aff_from_config
-    from .convnextv2 import ConvNeXtV2
     from .swin import swin_from_config
     from .maskformer import maskformer_from_config
     from .maskfiner import maskfiner_from_config
@@ -49,9 +48,6 @@ def _register_builtins():
 
     BACKBONE_REGISTRY.register(aff_from_config, name="AutoFocusFormer")
     BACKBONE_REGISTRY.register(swin_from_config, name="D2SwinTransformer")
-    BACKBONE_REGISTRY.register(
-        lambda cfg: ConvNeXtV2(), name="ConvNeXtV2"
-    )
     SEM_SEG_HEADS_REGISTRY.register(
         pixel_decoder_from_config, name="MSDeformAttnPixelDecoder"
     )
@@ -87,11 +83,12 @@ def _register_builtins():
 
     from .meta_arch_variants import (
         maskfiner_oracle_from_config,
+        maskfiner_oracle_teacher_bb_from_config,
         maskfiner_oracle_teacher_from_config,
         maskformer_swin_from_config,
     )
-    from .mrml import MixResMetaLoss, maskformer_ml_from_config, mixres_metaloss_from_config
-    from .updown import UpDownBackbone
+    from .mrml import maskformer_ml_from_config, mixres_metaloss_from_config
+    from .updown import updown_from_config
 
     META_ARCH_REGISTRY.register(maskformer_ml_from_config, name="MaskFormerML")
     SEM_SEG_HEADS_REGISTRY.register(
@@ -106,14 +103,14 @@ def _register_builtins():
         maskfiner_oracle_teacher_from_config, name="MaskFinerOracleTeacher"
     )
     META_ARCH_REGISTRY.register(maskfiner_oracle_from_config, name="MaskFinerOracle")
-    # BB/SW are backbone-swap configurations of the same OT cascade
-    # (reference maskfiner_oracle_teacher_model_bb.py / _sw.py); the swap is
-    # driven by cfg.MODEL.MR.NAME which maskfiner_from_config already reads.
+    # BB = ONE composite backbone (UpDownBackbone) + a single final-stage
+    # head (reference maskfiner_oracle_teacher_model_bb.py); SW = same model
+    # with sliding-window eval (maskfiner_oracle_teacher_model_sw.py).
     META_ARCH_REGISTRY.register(
-        maskfiner_oracle_teacher_from_config, name="MaskFinerOracleTeacherBB"
+        maskfiner_oracle_teacher_bb_from_config, name="MaskFinerOracleTeacherBB"
     )
     META_ARCH_REGISTRY.register(
-        maskfiner_oracle_teacher_from_config, name="MaskFinerOracleTeacherSW"
+        maskfiner_oracle_teacher_bb_from_config, name="MaskFinerOracleTeacherSW"
     )
     BACKBONE_REGISTRY.register(
         mixres_metaloss_from_config, name="MixResMetaLoss"
@@ -128,15 +125,36 @@ def _register_builtins():
         lambda cfg: mixres_metaloss_from_config(cfg).clone(
             use_cluster_attention=True
         ),
-        name="MRMLNeighbour",
+        name="MixResMetaLossNeighbour",
     )
-    BACKBONE_REGISTRY.register(
-        lambda cfg: UpDownBackbone(), name="UpDownBackbone"
-    )
-    from .mixres import MixResNeighbour
+    BACKBONE_REGISTRY.register(updown_from_config, name="UpDownBackbone")
+
+    # per-cascade-stage backbones, reference signature (cfg, layer_index)
+    from .maskfiner import build_backbone_indexed
 
     BACKBONE_REGISTRY.register(
-        lambda cfg: MixResNeighbour, name="MixResNeighbourXAttn"
+        lambda cfg, layer_index=0: build_backbone_indexed(
+            cfg, layer_index, name="MixResViT"
+        ),
+        name="MixResViT",
+    )
+    BACKBONE_REGISTRY.register(
+        lambda cfg, layer_index=1: build_backbone_indexed(
+            cfg, layer_index, name="MixResNeighbour"
+        ),
+        name="MixResNeighbour",
+    )
+    BACKBONE_REGISTRY.register(
+        lambda cfg, layer_index=1: build_backbone_indexed(
+            cfg, layer_index, name="MixResNeighbourXAttn"
+        ),
+        name="MixResNeighbourXAttn",
+    )
+    BACKBONE_REGISTRY.register(
+        lambda cfg, layer_index=0: build_backbone_indexed(
+            cfg, layer_index, name="ConvNeXtV2"
+        ),
+        name="ConvNeXtV2",
     )
 
 

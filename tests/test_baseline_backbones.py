@@ -73,3 +73,43 @@ def test_bilinear_sample_matches_point_sample():
     a = np.asarray(bilinear_sample(v, loc))[..., 0]
     b = np.asarray(point_sample(v[..., 0], loc))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_registry_builds_instances_from_config():
+    """Round-1 gap: these registrations returned classes or ignored cfg."""
+    import flax.linen as nn
+
+    from autofocusformermod_tpu.config import add_maskformer2_config, get_cfg
+    from autofocusformermod_tpu.models.registry import BACKBONE_REGISTRY
+
+    cfg = get_cfg()
+    add_maskformer2_config(cfg)
+    xattn = BACKBONE_REGISTRY.get("MixResNeighbourXAttn")(cfg, 1)
+    assert isinstance(xattn, nn.Module) and xattn.cross_attend_image
+    assert xattn.d_model == cfg.MODEL.MR.EMBED_DIM[1]
+    cnx = BACKBONE_REGISTRY.get("ConvNeXtV2")(cfg, 0)
+    assert isinstance(cnx, nn.Module)
+    assert cnx.d_model == cfg.MODEL.MR.EMBED_DIM[0]
+    vit = BACKBONE_REGISTRY.get("MixResViT")(cfg, 0)
+    assert isinstance(vit, nn.Module) and vit.first_layer
+
+
+def test_convnextv2_stage_forward():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from autofocusformermod_tpu.models.convnextv2 import ConvNeXtV2Stage
+
+    m = ConvNeXtV2Stage(
+        scale=0, n_scales=3, patch_size=16, min_patch_size=4,
+        d_model=32, n_layers=1, first_layer=True, out_feature="res4",
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 255, (1, 64, 64, 3)), jnp.float32
+    )
+    v = m.init(jax.random.PRNGKey(0), x, None, None, None, ())
+    outs, tps = m.apply(v, x, None, None, None, ())
+    assert outs["res4"].shape == (1, 16, 32)
+    assert outs["res4_pos"].shape == (1, 16, 2)
+    assert tps == (16,)
