@@ -66,10 +66,33 @@ class MaskFormer(nn.Module):
 
 
 def maskformer_from_config(cfg, use_pallas: Optional[bool] = None) -> MaskFormer:
-    backbone = aff_from_config(cfg, use_pallas=use_pallas)
-    feature_channels = {
-        f"res{i + 2}": int(c) for i, c in enumerate(cfg.MODEL.AFF.EMBED_DIM)
-    }
+    """MaskFormer meta-arch; the backbone follows MODEL.BACKBONE.NAME
+    (reference maskformer_model.py:99 build_backbone).  AFF is the primary
+    path; build_resnet_backbone serves the R50 baseline configs with an
+    on-grid point-cloud adapter."""
+    name = cfg.MODEL.BACKBONE.NAME
+    if name == "AutoFocusFormer":
+        backbone = aff_from_config(cfg, use_pallas=use_pallas)
+        feature_channels = {
+            f"res{i + 2}": int(c) for i, c in enumerate(cfg.MODEL.AFF.EMBED_DIM)
+        }
+    elif name == "build_resnet_backbone":
+        from .resnet import resnet_from_config
+
+        backbone = resnet_from_config(cfg)
+        c = cfg.MODEL.RESNETS.RES2_OUT_CHANNELS
+        feature_channels = {f"res{i + 2}": c * 2**i for i in range(4)}
+    elif name == "D2SwinTransformer":
+        from .swin import swin_from_config
+
+        backbone = swin_from_config(cfg)
+        c = cfg.MODEL.SWIN.EMBED_DIM
+        feature_channels = {f"res{i + 2}": c * 2**i for i in range(4)}
+    else:
+        from .registry import BACKBONE_REGISTRY
+
+        backbone = BACKBONE_REGISTRY.get(name)(cfg)
+        feature_channels = {}
     pixel_decoder = pixel_decoder_from_config(cfg, feature_channels)
     predictor = transformer_decoder_from_config(cfg, cfg.MODEL.SEM_SEG_HEAD.CONVS_DIM)
     head = MaskFormerHead(pixel_decoder=pixel_decoder, predictor=predictor)

@@ -46,7 +46,10 @@ def _register_builtins():
     from .pixel_decoder import pixel_decoder_from_config
     from .transformer_decoder import transformer_decoder_from_config
 
+    from .resnet import resnet_from_config
+
     BACKBONE_REGISTRY.register(aff_from_config, name="AutoFocusFormer")
+    BACKBONE_REGISTRY.register(resnet_from_config, name="build_resnet_backbone")
     BACKBONE_REGISTRY.register(swin_from_config, name="D2SwinTransformer")
     SEM_SEG_HEADS_REGISTRY.register(
         pixel_decoder_from_config, name="MSDeformAttnPixelDecoder"

@@ -113,3 +113,38 @@ def test_convnextv2_stage_forward():
     assert outs["res4"].shape == (1, 16, 32)
     assert outs["res4_pos"].shape == (1, 16, 2)
     assert tps == (16,)
+
+
+def test_resnet50_maskformer_end_to_end():
+    """R50 baseline configs (reference maskformer2_R50_*.yaml) build and run:
+    the ResNet emits the on-grid point-cloud dict the pc pixel decoder needs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from autofocusformermod_tpu.config import add_maskformer2_config, get_cfg
+    from autofocusformermod_tpu.models.registry import build_model
+
+    cfg = get_cfg()
+    add_maskformer2_config(cfg)
+    cfg.MODEL.BACKBONE.NAME = "build_resnet_backbone"
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES = 7
+    cfg.MODEL.SEM_SEG_HEAD.CONVS_DIM = 32
+    cfg.MODEL.SEM_SEG_HEAD.MASK_DIM = 32
+    cfg.MODEL.SEM_SEG_HEAD.TRANSFORMER_ENC_LAYERS = 1
+    cfg.MODEL.MASK_FORMER.HIDDEN_DIM = 32
+    cfg.MODEL.MASK_FORMER.NUM_OBJECT_QUERIES = 5
+    cfg.MODEL.MASK_FORMER.NHEADS = 2
+    cfg.MODEL.MASK_FORMER.DIM_FEEDFORWARD = 32
+    cfg.MODEL.MASK_FORMER.DEC_LAYERS = 4
+    cfg.TPU.USE_PALLAS = False
+    m = build_model(cfg)
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 255, (1, 64, 64, 3)), jnp.float32
+    )
+    v = jax.jit(lambda: m.init(jax.random.PRNGKey(0), x, train=False))()
+    out = m.apply(v, x, train=False)
+    assert out["pred_logits"].shape == (1, 5, 8)
+    assert out["pred_masks"].shape[:2] == (1, 5)
+    assert np.isfinite(np.asarray(out["pred_logits"])).all()
