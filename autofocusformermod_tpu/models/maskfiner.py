@@ -73,6 +73,12 @@ class MSDeformAttnPixelDecoderMaskFiner(nn.Module):
     activation: str = "relu"
     final_layer: bool = True
     mask_decoder_all_levels: bool = False
+    # MSDeformAttnPixelDecoderMaskFinerHierUp
+    # (msdeformattn_pc_maskfiner_hierup.py:482-501): each FPN lateral is
+    # hierarchically painted onto the FULL min-patch grid (finer levels claim
+    # cells) before the Shepard residual add, and mask features come from the
+    # dense last level only, on full-grid positions.
+    hierup: bool = False
 
     @nn.compact
     def __call__(self, features: Dict, deterministic: bool = True):
@@ -136,15 +142,34 @@ class MSDeformAttnPixelDecoderMaskFiner(nn.Module):
             cur_fpn = nn.Dense(self.conv_dim, name=f"adapter_{idx + 1}_dense")(x)
             cur_fpn = nn.LayerNorm(name=f"adapter_{idx + 1}_norm")(cur_fpn)
             fixed = fix_pos_no_bias(pos, ss, min_ss)
-            y = cur_fpn + upsample_feature_shepard(fixed, fixed_poss[-1], out[-1])
+            if self.hierup:
+                # paint all levels so far + this lateral onto the dense grid
+                # (reference hierup :484), then residual-add the Shepard
+                # upsample of the previous level at the grid positions
+                cur_fpn = hierarchical_upsample_dense(
+                    out + [cur_fpn], fixed_poss + [fixed], min_ss
+                )
+                y = cur_fpn + upsample_feature_shepard(
+                    grid_pos, fixed_poss[-1], out[-1]
+                )
+                fixed = grid_pos
+            else:
+                y = cur_fpn + upsample_feature_shepard(
+                    fixed, fixed_poss[-1], out[-1]
+                )
             y = PointConv(self.conv_dim, name=f"layer_{idx + 1}_pointconv")(y, fixed)
             y = nn.LayerNorm(name=f"layer_{idx + 1}_norm")(y)
             y = nn.leaky_relu(y) if self.activation == "lrelu" else nn.relu(y)
             fixed_poss.append(fixed)
             out.append(y)
 
-        mf = jnp.concatenate(out, axis=1)
-        mf_pos = jnp.concatenate(fixed_poss, axis=1)
+        if self.hierup:
+            # dense last level only (reference hierup :501)
+            mf = out[-1]
+            mf_pos = fixed_poss[-1]
+        else:
+            mf = jnp.concatenate(out, axis=1)
+            mf_pos = jnp.concatenate(fixed_poss, axis=1)
         mask_features = (
             nn.Dense(self.mask_dim, name="mask_features")(mf)
             if self.final_layer or self.mask_decoder_all_levels
@@ -278,6 +303,12 @@ class MultiScaleMaskFinerTransformerDecoder(nn.Module):
     num_feature_levels: int = 3
     final_layer: bool = False
     dense_mask_features: bool = False
+    # MultiScaleMaskFinerTransformerDecoderCat
+    # (maskfiner_transformer_decoder_catfeatures.py:394-419): cross-attention
+    # memory is the CONCATENATION of all levels every round (instead of
+    # cycling one level per round), and the attention mask is computed at
+    # the concatenated positions.
+    cat_features: bool = False
 
     @nn.compact
     def __call__(self, x: List, pos: List, mask_features, mf_pos,
@@ -390,8 +421,15 @@ class MultiScaleMaskFinerTransformerDecoder(nn.Module):
             ).transpose(0, 2, 1)
             return point2img(up, finest_pos, finest_feat_shape)
 
+        if self.cat_features:
+            src_cat = jnp.concatenate(src, axis=1)
+            pos_emb_cat = jnp.concatenate(pos_emb, axis=1)
+            poss_cat = jnp.concatenate(poss_scaled, axis=1)
+
         predictions_class, predictions_mask = [], []
-        ocls, pred_mask, attn_mask = prediction_heads(output, poss_scaled[0])
+        ocls, pred_mask, attn_mask = prediction_heads(
+            output, poss_cat if self.cat_features else poss_scaled[0]
+        )
         predictions_class.append(ocls)
         predictions_mask.append(rasterize(pred_mask))
 
@@ -400,9 +438,11 @@ class MultiScaleMaskFinerTransformerDecoder(nn.Module):
             if attn_mask is not None:
                 full = jnp.all(attn_mask, axis=-1, keepdims=True)
                 attn_mask = jnp.logical_and(attn_mask, jnp.logical_not(full))
+            memory = src_cat if self.cat_features else src[li]
+            mem_pe = pos_emb_cat if self.cat_features else pos_emb[li]
             output = CrossAttentionLayer(
                 self.hidden_dim, self.nheads, 0.0, self.pre_norm, name=f"cross_{i}"
-            )(output, src[li], attn_mask, pos_emb[li], qe, deterministic)
+            )(output, memory, attn_mask, mem_pe, qe, deterministic)
             output = SelfAttentionLayer(
                 self.hidden_dim, self.nheads, 0.0, self.pre_norm, name=f"self_{i}"
             )(output, qe, deterministic)
@@ -412,7 +452,8 @@ class MultiScaleMaskFinerTransformerDecoder(nn.Module):
             )(output, deterministic)
 
             ocls, pred_mask, attn_mask = prediction_heads(
-                output, poss_scaled[(i + 1) % nl]
+                output,
+                poss_cat if self.cat_features else poss_scaled[(i + 1) % nl],
             )
             predictions_class.append(ocls)
             predictions_mask.append(rasterize(pred_mask))
@@ -626,6 +667,25 @@ def build_stage_pixel_decoder(cfg, li: int, final: bool, ot_predictor: bool):
     if isinstance(pd_names, str):
         pd_names = [pd_names] * (li + 1)
     pd_name = pd_names[li]
+    if pd_name.endswith("HierUp"):
+        return MSDeformAttnPixelDecoderMaskFiner(
+            in_features=tuple(in_features),
+            transformer_in_features=tuple(trans),
+            conv_dim=head.CONVS_DIM[li],
+            mask_dim=mfr.MASK_DIM[li],
+            transformer_nheads=head.NHEADS[li],
+            transformer_dim_feedforward=int(
+                head.CONVS_DIM[li] * head.MLP_RATIO[li]
+            ),
+            transformer_enc_layers=head.TRANSFORMER_ENC_LAYERS[li],
+            transformer_dropout=head.DROPOUT,
+            shepard_power=mfr.SHEPARD_POWER / 2.0,
+            shepard_power_learnable=mfr.SHEPARD_POWER_LEARNABLE,
+            maskformer_num_feature_levels=mfr.DECODER_LEVELS[li],
+            final_layer=final,
+            mask_decoder_all_levels=mfr.MASK_DECODER_ALL_LEVELS,
+            hierup=True,
+        )
     if pd_name == "ProjMaskFinerOracleTeacher":
         return ProjPixelDecoderMaskFiner(
             in_features=tuple(in_features),
@@ -676,6 +736,7 @@ def build_stage_mask_decoder(cfg, li: int, final: bool):
         num_feature_levels=mfr.DECODER_LEVELS[li],
         final_layer=final,
         dense_mask_features=dec_name.endswith("OracleTeacher"),
+        cat_features="Cat" in dec_name,
     )
 
 

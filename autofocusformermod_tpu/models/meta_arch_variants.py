@@ -39,12 +39,13 @@ class GridHead(nn.Module):
 
     @nn.compact
     def __call__(self, features: Dict, deterministic: bool = True) -> Dict:
-        mask_features, mf_pos, _, ms_feats, ms_poss = self.pixel_decoder(
-            features, deterministic
+        mask_features, mf_pos, _, ms_feats, ms_poss, ms_shapes = (
+            self.pixel_decoder(features, deterministic)
         )
         mask_size = features["res2_spatial_shape"]
         return self.predictor(
-            ms_feats, ms_poss, mask_features, mf_pos, mask_size, deterministic
+            ms_feats, ms_poss, mask_features, mf_pos, mask_size, deterministic,
+            level_shapes=ms_shapes,
         )
 
 

@@ -219,4 +219,5 @@ class MSDeformAttnPixelDecoderGrid(nn.Module):
             grid_pos(*shapes[j], 2 ** (3 - j)) for j in range(min(3, nl))
         ]
         mf_pos = grid_pos(h2, w2, 1)
-        return flat(mask_features), mf_pos, flat(outs[0]), ms_feats, ms_poss
+        ms_shapes = [tuple(shapes[j]) for j in range(min(3, nl))]
+        return flat(mask_features), mf_pos, flat(outs[0]), ms_feats, ms_poss, ms_shapes

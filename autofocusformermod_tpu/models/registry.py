@@ -78,9 +78,34 @@ def _register_builtins():
         ),
         name="MSDeformAttnPixelDecoderMaskFinerOracleTeacher",
     )
+    SEM_SEG_HEADS_REGISTRY.register(
+        lambda **kw: MSDeformAttnPixelDecoderMaskFiner(**{**kw, "hierup": True}),
+        name="MSDeformAttnPixelDecoderMaskFinerHierUp",
+    )
+    from .pixel_decoder_grid import MSDeformAttnPixelDecoderGrid
+
+    SEM_SEG_HEADS_REGISTRY.register(
+        MSDeformAttnPixelDecoderGrid, name="MSDeformAttnPixelDecoderSwin"
+    )
     TRANSFORMER_DECODER_REGISTRY.register(
         transformer_decoder_from_config, name="MultiScaleMaskedTransformerDecoder"
     )
+    TRANSFORMER_DECODER_REGISTRY.register(
+        transformer_decoder_from_config,  # grid_attn_mask read from cfg name
+        name="MultiScaleMaskedTransformerDecoderSwin",
+    )
+    from .maskfiner import MultiScaleMaskFinerTransformerDecoder
+
+    for _n in (
+        "MultiScaleMaskFinerTransformerDecoder",
+        "MultiScaleMaskFinerTransformerDecoderOracleTeacher",
+        "MultiScaleMaskFinerTransformerDecoderCat",
+        "MultiScaleMaskFinerTransformerDecoder5S",
+        "MultiScaleMaskFinerTransformerDecoderSingleScale",
+    ):
+        TRANSFORMER_DECODER_REGISTRY.register(
+            MultiScaleMaskFinerTransformerDecoder, name=_n
+        )
     META_ARCH_REGISTRY.register(maskformer_from_config, name="MaskFormer")
     META_ARCH_REGISTRY.register(maskfiner_from_config, name="MaskFiner")
 

@@ -135,6 +135,12 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
     mask_dim: int = 256
     enforce_input_project: bool = False
     num_feature_levels: int = 3
+    # MultiScaleMaskedTransformerDecoderSwin
+    # (mask2former_transformer_decoder_swin.py:435-450): the attention mask
+    # is the rasterized mask bilinearly resized to each level's grid (the
+    # stock grid Mask2Former behavior) instead of Shepard-upsampled onto the
+    # level's point positions.  Requires level_shapes at call time.
+    grid_attn_mask: bool = False
 
     def setup(self):
         self.query_feat = nn.Embed(self.num_queries, self.hidden_dim)
@@ -167,14 +173,23 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
         self.mask_embed = MLP(self.hidden_dim, self.mask_dim, 3)
 
     def _prediction_heads(self, output, mask_features, mf_pos, target_pos,
-                          mask_size=None, mf_lut=None):
+                          mask_size=None, mf_lut=None, target_hw=None):
         """(reference :468-488). output: (b, q, c)."""
         dec = self.decoder_norm(output)
         outputs_class = self.class_embed(dec)                       # (b, q, nc+1)
         mask_embed = self.mask_embed(dec)                           # (b, q, cm)
         outputs_mask = jnp.einsum("bqc,bnc->bqn", mask_embed, mask_features)
         # upsample mask logits to the next level's positions -> attention mask
-        if mf_lut is not None:
+        if self.grid_attn_mask and target_hw is not None:
+            # Swin variant: bilinear resize of the rasterized mask to the
+            # level grid (reference swin decoder :444-448)
+            b, q, _ = outputs_mask.shape
+            raster = outputs_mask.reshape(b, q, mask_size[0], mask_size[1])
+            am = jax.image.resize(
+                raster, (b, q, int(target_hw[0]), int(target_hw[1])),
+                method="bilinear",
+            ).reshape(b, q, -1)
+        elif mf_lut is not None:
             am = grid_shepard_upsample(
                 target_pos, mf_pos, outputs_mask.transpose(0, 2, 1),
                 mask_size[0], mask_size[1], lut=mf_lut,
@@ -190,8 +205,16 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
         return outputs_class, outputs_mask, attn_mask
 
     def __call__(self, x: List, pos: List, mask_features, mf_pos,
-                 mask_size: Tuple[int, int], deterministic: bool = True) -> Dict:
+                 mask_size: Tuple[int, int], deterministic: bool = True,
+                 level_shapes: List = None) -> Dict:
         assert len(x) == self.num_feature_levels
+        if self.grid_attn_mask:
+            assert level_shapes is not None, (
+                "grid_attn_mask (Swin decoder) needs level_shapes"
+            )
+
+        def level_hw(i):
+            return level_shapes[i] if level_shapes is not None else None
         b = x[0].shape[0]
 
         src, pos_emb = [], []
@@ -216,7 +239,8 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
         )
         predictions_class, predictions_mask = [], []
         outputs_class, outputs_mask, attn_mask = self._prediction_heads(
-            output, mask_features, mf_pos, pos[0], mask_size, mf_lut
+            output, mask_features, mf_pos, pos[0], mask_size, mf_lut,
+            target_hw=level_hw(0),
         )
         def rasterize(m):
             if mf_lut is not None:
@@ -242,6 +266,7 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
             outputs_class, outputs_mask, attn_mask = self._prediction_heads(
                 output, mask_features, mf_pos,
                 pos[(i + 1) % self.num_feature_levels], mask_size, mf_lut,
+                target_hw=level_hw((i + 1) % self.num_feature_levels),
             )
             predictions_class.append(outputs_class)
             predictions_mask.append(rasterize(outputs_mask))
@@ -257,7 +282,10 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
 
 
 def transformer_decoder_from_config(cfg, in_channels: int) -> MultiScaleMaskedTransformerDecoder:
-    """Mirror of from_config (mask2former_transformer_decoder.py:362-387)."""
+    """Mirror of from_config (mask2former_transformer_decoder.py:362-387).
+    TRANSFORMER_DECODER_NAME "...Swin" selects the grid attention-mask
+    variant (mask2former_transformer_decoder_swin.py)."""
+    name = cfg.MODEL.MASK_FORMER.TRANSFORMER_DECODER_NAME
     return MultiScaleMaskedTransformerDecoder(
         in_channels=in_channels,
         num_classes=cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
@@ -269,4 +297,5 @@ def transformer_decoder_from_config(cfg, in_channels: int) -> MultiScaleMaskedTr
         pre_norm=cfg.MODEL.MASK_FORMER.PRE_NORM,
         mask_dim=cfg.MODEL.SEM_SEG_HEAD.MASK_DIM,
         enforce_input_project=cfg.MODEL.MASK_FORMER.ENFORCE_INPUT_PROJ,
+        grid_attn_mask=name.endswith("Swin"),
     )

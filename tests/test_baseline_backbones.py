@@ -56,10 +56,11 @@ def test_grid_pixel_decoder_with_swin():
         transformer_dim_feedforward=32, transformer_enc_layers=1,
     )
     vp = pd.init(jax.random.PRNGKey(1), feats)
-    mf, mf_pos, t0, ms, poss = pd.apply(vp, feats)
+    mf, mf_pos, t0, ms, poss, ms_shapes = pd.apply(vp, feats)
     assert mf.shape == (1, 256, 32)
     assert mf_pos.shape == (1, 256, 2)
     assert len(ms) == 3 and len(poss) == 3
+    assert ms_shapes[0] == (2, 2)  # res5 grid of a 64x64 input
     assert np.isfinite(np.asarray(mf)).all()
 
 

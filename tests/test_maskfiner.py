@@ -301,3 +301,75 @@ def test_ot_cascade_train_step(ot_cascade_out):
     assert np.isfinite(float(metrics["total_loss"]))
     assert "loss_upsampling" in metrics
     assert np.isfinite(float(metrics["loss_upsampling"]))
+
+
+def test_hierup_pixel_decoder_forward():
+    """HierUp variant: dense full-grid mask features from the last level only
+    (reference msdeformattn_pc_maskfiner_hierup.py:482-501)."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from autofocusformermod_tpu.models.maskfiner import (
+        MSDeformAttnPixelDecoderMaskFiner,
+    )
+
+    b, min_hw = 1, (8, 8)
+    feats = {"min_spatial_shape": min_hw}
+    rng = np.random.default_rng(0)
+    # two levels: res5 coarse 4 tokens (4x4 blocks), res4 fine 16 tokens
+    for f, n, step in [("res5", 4, 4), ("res4", 16, 2)]:
+        ys, xs = np.meshgrid(np.arange(0, 8, step), np.arange(0, 8, step),
+                             indexing="ij")
+        pos = np.stack([xs, ys], 2).reshape(1, -1, 2).astype(np.float32)
+        feats[f] = jnp.asarray(rng.normal(size=(b, n, 16)), jnp.float32)
+        feats[f + "_pos"] = jnp.asarray(pos)
+        feats[f + "_scale"] = jnp.zeros((b, n))
+        feats[f + "_spatial_shape"] = (8 // step, 8 // step)
+    pd = MSDeformAttnPixelDecoderMaskFiner(
+        in_features=("res4", "res5"), transformer_in_features=("res5",),
+        conv_dim=16, mask_dim=16, transformer_nheads=2,
+        transformer_dim_feedforward=16, transformer_enc_layers=1,
+        maskformer_num_feature_levels=1, hierup=True,
+    )
+    v = pd.init(jax.random.PRNGKey(0), feats)
+    mf, mf_pos, out, poss, scaless, finest, shapes = pd.apply(v, feats)
+    # mask features are the dense min-grid, not the concat of all levels
+    assert mf.shape == (b, 64, 16)
+    assert mf_pos.shape == (b, 64, 2)
+    assert np.isfinite(np.asarray(mf)).all()
+
+
+def test_cat_features_decoder_forward():
+    """Cat variant: cross-attention memory is the concat of all levels."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from autofocusformermod_tpu.models.maskfiner import (
+        MultiScaleMaskFinerTransformerDecoder,
+    )
+
+    b, c = 1, 16
+    rng = np.random.default_rng(0)
+    x = [jnp.asarray(rng.normal(size=(b, 4, c)), jnp.float32),
+         jnp.asarray(rng.normal(size=(b, 16, c)), jnp.float32)]
+    ys, xs = np.meshgrid(np.arange(0, 8, 4), np.arange(0, 8, 4), indexing="ij")
+    p5 = np.stack([xs, ys], 2).reshape(1, -1, 2).astype(np.float32)
+    ys, xs = np.meshgrid(np.arange(0, 8, 2), np.arange(0, 8, 2), indexing="ij")
+    p4 = np.stack([xs, ys], 2).reshape(1, -1, 2).astype(np.float32)
+    pos = [jnp.asarray(p5), jnp.asarray(p4)]
+    mf = jnp.concatenate(x, axis=1)
+    mf_pos = jnp.concatenate(pos, axis=1)
+    dec = MultiScaleMaskFinerTransformerDecoder(
+        in_channels=c, num_classes=5, hidden_dim=c, num_queries=4, nheads=2,
+        dim_feedforward=c, dec_layers=2, mask_dim=c, num_feature_levels=2,
+        final_layer=True, cat_features=True,
+    )
+    v = dec.init(jax.random.PRNGKey(0), x, pos, mf, mf_pos, (8, 8),
+                 [(2, 2), (4, 4)])
+    out, disagreement = dec.apply(v, x, pos, mf, mf_pos, (8, 8),
+                                  [(2, 2), (4, 4)])
+    assert out["pred_logits"].shape == (b, 4, 6)
+    assert np.isfinite(np.asarray(out["pred_logits"])).all()
+    assert disagreement is not None
