@@ -156,6 +156,10 @@ def _register_builtins():
         name="MixResMetaLossNeighbour",
     )
     BACKBONE_REGISTRY.register(updown_from_config, name="UpDownBackbone")
+    BACKBONE_REGISTRY.register(
+        lambda cfg: updown_from_config(cfg, down_only=True),
+        name="OracleTeacherBackbone",
+    )
 
     # per-cascade-stage backbones, reference signature (cfg, layer_index)
     from .maskfiner import build_backbone_indexed

@@ -89,6 +89,10 @@ class UpDownBackbone(nn.Module):
     keep_old_scale: bool = True
     oracle_ratio: float = 0.0
     ignore_label: int = 255
+    # OracleTeacherBackbone (mixres_oracle_teacher.py MROTB): the same
+    # composition WITHOUT the up pass — n_scales down stages only, every
+    # resolution read from the final stage's stream segments.
+    down_only: bool = False
 
     def _stream(self, feats: Dict, tokens_per_scale, outs: Dict):
         """Flatten a stage's per-resolution segments into one token stream
@@ -113,10 +117,10 @@ class UpDownBackbone(nn.Module):
     @nn.compact
     def __call__(self, im, sem_seg_gt=None, train: bool = False) -> Dict:
         n = self.n_scales
-        n_stages = 2 * n - 1
+        n_stages = n if self.down_only else 2 * n - 1
         assert len(self.names) == n_stages, (
-            f"UpDownBackbone needs {n_stages} per-stage entries, got "
-            f"{len(self.names)} (MODEL.MR.* lists must cover down+up stages)"
+            f"{'OracleTeacherBackbone' if self.down_only else 'UpDownBackbone'}"
+            f" needs {n_stages} per-stage entries, got {len(self.names)}"
         )
         assert self.keep_old_scale, (
             "UpDownBackbone requires KEEP_OLD_SCALE: the mirrored residual "
@@ -211,6 +215,15 @@ class UpDownBackbone(nn.Module):
                 else:
                     upsampling_mask = pred
 
+        if self.down_only:
+            # OracleTeacherBackbone: every resolution comes from the final
+            # stage's stream segments
+            start = 0
+            for t, cnt in enumerate(tokens_per_scale):
+                outs[f"res{n - t + 1}"] = features[:, start : start + cnt]
+                start += cnt
+            return outs
+
         # finest resolution (scale n-1) is final after the last down stage
         n_fine = tokens_per_scale[-1]
         outs["res2"] = features[:, -n_fine:]
@@ -261,13 +274,16 @@ class UpDownBackbone(nn.Module):
         return outs
 
 
-def updown_from_config(cfg) -> UpDownBackbone:
+def updown_from_config(cfg, down_only: bool = False) -> UpDownBackbone:
     """Build UpDownBackbone from MODEL.MR.* (reference mixres_up_down.py
-    :208-246 reads the same 2n-1-entry lists via build_backbone_indexed)."""
+    :208-246 reads the same 2n-1-entry lists via build_backbone_indexed).
+    ``down_only=True`` gives OracleTeacherBackbone (mixres_oracle_teacher.py
+    :188-, n-entry lists, no up pass)."""
     mr = cfg.MODEL.MR
     n = cfg.MODEL.MASK_FINER.NUM_RESOLUTION_SCALES
     return UpDownBackbone(
         n_scales=n,
+        down_only=down_only,
         names=tuple(mr.NAME),
         patch_sizes=tuple(mr.PATCH_SIZES),
         embed_dims=tuple(mr.EMBED_DIM),

@@ -85,13 +85,14 @@ def test_loads_own_config_tree():
     import glob
 
     files = glob.glob("configs/**/*.yaml", recursive=True)
-    assert len(files) >= 8
+    assert len(files) >= 97, "full reference config tree should be shipped"
     for f in files:
-        if os.path.basename(f).startswith("base"):
+        if os.path.basename(f).lower().startswith("base"):
             continue
         cfg = _full_cfg()
         cfg.merge_from_file(f)
-        assert cfg.MODEL.MASK_FORMER.NUM_OBJECT_QUERIES == 100
+        # queries: 100 everywhere except cityscapes instance/panoptic (250)
+        assert cfg.MODEL.MASK_FORMER.NUM_OBJECT_QUERIES in (100, 250), f
 
 
 def test_own_aff_mini_matches_reference_values():
