@@ -22,3 +22,26 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 assert jax.default_backend() == "cpu"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: compile-heavy test (full-model CPU jit, minutes)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Auto-tier: modules that jit entire models on CPU are 'slow'; everything
+    else is fast.  `pytest -m 'not slow'` finishes in ~2 min and is the
+    default gate; the full suite is for pre-milestone verification."""
+    import pytest as _pytest
+
+    slow_modules = {
+        "test_maskformer", "test_maskfiner", "test_mrml", "test_oracle",
+        "test_updown", "test_train_step", "test_aff", "test_msdetrpc_pallas",
+        "test_convert_checkpoint", "test_reference_parity", "test_pallas",
+        "test_baseline_backbones", "test_demo_async",
+    }
+    for item in items:
+        if item.module.__name__.rsplit(".", 1)[-1] in slow_modules:
+            item.add_marker(_pytest.mark.slow)
