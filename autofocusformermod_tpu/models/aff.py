@@ -86,7 +86,10 @@ class ClusterAttention(nn.Module):
         pos_embed = nn.Dense(h, name="pos_embed")
 
         q = q.reshape(b, n, h, c_).transpose(0, 2, 1, 3)      # (b, h, n, c_)
-        kv = kv.reshape(b, n, 2, h, c_).transpose(2, 0, 3, 1, 4)
+        # the fused kv projection interleaves k/v PER HEAD: columns are
+        # (h, 2, c_)-ordered, not (2, h, c_) (ref aff.py:115 kv.view(b,n,h,2,c_))
+        # — checkpoint parity depends on matching this split
+        kv = kv.reshape(b, n, h, 2, c_).transpose(3, 0, 2, 1, 4)
         key, v = kv[0], kv[1]                                  # (b, h, n, c_)
 
         if not global_attn and ctx.get("fused", False):
@@ -367,6 +370,15 @@ class BasicLayer(nn.Module):
             )(feat, ctx, global_attn, deterministic)
 
         if self.has_downsample:
+            if global_attn:
+                # The reference hits the same wall: ClusterMerging requires
+                # member_idx, which is None under global attention
+                # (ref aff.py:442-444, 276-365). Configure larger inputs or
+                # smaller nbhd_size instead.
+                raise ValueError(
+                    "AFF stage with downsampling needs n > nbhd_size "
+                    f"(got n={n}, nbhd_size={self.nbhd_size})"
+                )
             learned_prob = jax.nn.sigmoid(nn.Dense(1, name="prob_net")(feat))
             reserve_num = math.ceil(h / (stride * 2)) * math.ceil(w / (stride * 2))
             pos_down, feat_down = ClusterMerging(

@@ -132,23 +132,148 @@ def _install_stubs():
     sys.modules.setdefault("fvcore.nn", fv_nn)
     sys.modules.setdefault("fvcore.nn.weight_init", fv_wi)
 
-    # ---- the CUDA extension package ----
+    # ---- pykeops (exact brute-force KNN stand-in) ----
+    if "pykeops" not in sys.modules:
+        pk = types.ModuleType("pykeops")
+        pk_torch = types.ModuleType("pykeops.torch")
+
+        class LazyTensor:
+            """Eager stand-in for the LazyTensor ops knn_keops uses
+            (point_utils.py:51-59): sub, **, sum, argKmin, Kmin_argKmin."""
+
+            def __init__(self, t):
+                self.t = t
+
+            def __sub__(self, other):
+                return LazyTensor(self.t - other.t)
+
+            def __pow__(self, p):
+                return LazyTensor(self.t ** p)
+
+            def sum(self, dim):
+                return LazyTensor(self.t.sum(dim))
+
+            # Tie-break note: distance ties are real on symmetric grids; the
+            # smallest-k must take the LOWEST index first (stable ascending
+            # sort) to match jax.lax.top_k's guaranteed tie semantics.
+            # torch.topk's tie order is implementation-defined, so use a
+            # stable argsort instead — an equally valid exact-KNN result.
+            def argKmin(self, k, dim):
+                # self.t: (b, n_db, n_q); smallest-k over the db dim
+                idx = self.t.argsort(dim=dim, stable=True).narrow(dim, 0, k)
+                if dim == 1:
+                    return idx.permute(0, 2, 1).contiguous()
+                return idx
+
+            def Kmin_argKmin(self, k, dim):
+                idx = self.t.argsort(dim=dim, stable=True).narrow(dim, 0, k)
+                vals = self.t.gather(dim, idx)
+                if dim == 1:
+                    return (
+                        vals.permute(0, 2, 1).contiguous(),
+                        idx.permute(0, 2, 1).contiguous(),
+                    )
+                return vals, idx
+
+        pk_torch.LazyTensor = LazyTensor
+        pk.torch = pk_torch
+        sys.modules["pykeops"] = pk
+        sys.modules["pykeops.torch"] = pk_torch
+
+    # ---- the CUDA extension package: pure-torch stand-ins ----
+    # Formulas are the reference's own parity oracles
+    # (clusten/test_wg_kernel.py:37-38, test_msdetrpc_kernel.py:44-45) and
+    # the kernel accessor layouts (clustenwf_cuda_kernel.cu:20-48 etc.).
     clusten = types.ModuleType("refmask.modeling.clusten")
 
-    class _F:
+    class CLUSTENQKFunction:
         @staticmethod
-        def apply(*a, **k):
-            raise RuntimeError("CUDA kernels unavailable in CPU oracle")
+        def apply(query, key, nbhd_idx):
+            # query/key: (b, h, n, c_); nbhd_idx: (b, n, m)
+            b, h, n, c_ = query.shape
+            m = nbhd_idx.shape[-1]
+            idx = nbhd_idx[:, None].expand(-1, h, -1, -1).reshape(b, h, n * m)
+            k_g = key.gather(
+                index=idx[..., None].expand(-1, -1, -1, c_), dim=2
+            ).reshape(b, h, n, m, c_)
+            return (query[:, :, :, None, :] * k_g).sum(-1)
 
-    for name in [
-        "CLUSTENQKFunction",
-        "CLUSTENAVFunction",
-        "CLUSTENWFFunction",
-        "WEIGHTEDGATHERFunction",
-        "MSDETRPCFunction",
+    class CLUSTENAVFunction:
+        @staticmethod
+        def apply(attn, v, nbhd_idx):
+            # attn: (b, h, n, m); v: (b, h, n, c_); nbhd_idx: (b, n, m)
+            b, h, n, m = attn.shape
+            c_ = v.shape[-1]
+            idx = nbhd_idx[:, None].expand(-1, h, -1, -1).reshape(b, h, n * m)
+            v_g = v.gather(
+                index=idx[..., None].expand(-1, -1, -1, c_), dim=2
+            ).reshape(b, h, n, m, c_)
+            return (attn[..., None] * v_g).sum(3)
+
+    class CLUSTENWFFunction:
+        @staticmethod
+        def apply(weights, feat, nbhd_idx):
+            # weights: (b, n, m, ic); feat: (b, N, c); nbhd_idx: (b, n, m)
+            b, n, m, ic = weights.shape
+            c = feat.shape[-1]
+            f_g = feat.gather(
+                index=nbhd_idx.reshape(b, n * m, 1).expand(-1, -1, c), dim=1
+            ).reshape(b, n, m, c)
+            # output layout (b, n, ic, c) per clustenwf_cuda_kernel.cu:23
+            return (weights[..., None] * f_g[:, :, :, None, :]).sum(2)
+
+    class WEIGHTEDGATHERFunction:
+        @staticmethod
+        def apply(nbhd_idx, weights, feat):
+            # nbhd_idx/weights: (b, n, k); feat: (b, N, c)
+            b, n, k = nbhd_idx.shape
+            c = feat.shape[-1]
+            f_g = feat.gather(
+                index=nbhd_idx.reshape(b, n * k, 1).expand(-1, -1, c), dim=1
+            ).reshape(b, n, k, c)
+            return (f_g * weights[..., None]).sum(2)
+
+    class MSDETRPCFunction:
+        @staticmethod
+        def apply(nn_idx, nn_weight, attn, val):
+            # nn_idx/nn_weight: (b, n, m, k); attn: (b, n, m); val: (b, N, c)
+            b, n, m, k = nn_idx.shape
+            c = val.shape[-1]
+            v_g = val.gather(
+                index=nn_idx.reshape(b, n * m * k, 1).expand(-1, -1, c), dim=1
+            ).reshape(b, n, m, k, c)
+            return ((v_g * nn_weight[..., None]).sum(3) * attn[..., None]).sum(2)
+
+    for name, fn in [
+        ("CLUSTENQKFunction", CLUSTENQKFunction),
+        ("CLUSTENAVFunction", CLUSTENAVFunction),
+        ("CLUSTENWFFunction", CLUSTENWFFunction),
+        ("WEIGHTEDGATHERFunction", WEIGHTEDGATHERFunction),
+        ("MSDETRPCFunction", MSDETRPCFunction),
     ]:
-        setattr(clusten, name, _F)
+        setattr(clusten, name, fn)
     return clusten
+
+
+def force_stable_sort():
+    """Make torch.Tensor.sort stable process-wide.
+
+    The reference's SFC clustering sorts float32 keys with exact ties
+    (point_utils.py:240-241); torch's default unstable sort breaks those ties
+    in an implementation-defined mixed order that nothing can replicate.  Any
+    tie order is equally valid reference behavior — parity tests pin the
+    stable one, which jnp.argsort(stable=True) reproduces bit-exactly."""
+    import torch
+
+    if getattr(torch.Tensor.sort, "_is_stable_patch", False):
+        return
+    orig = torch.Tensor.sort
+
+    def stable_sort(self, dim=-1, descending=False, stable=False):
+        return orig(self, dim=dim, descending=descending, stable=True)
+
+    stable_sort._is_stable_patch = True
+    torch.Tensor.sort = stable_sort
 
 
 def _load(relpath, modname, package, clusten_mod=None):
