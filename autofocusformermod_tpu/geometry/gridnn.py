@@ -38,9 +38,16 @@ def pos_index_lut(pos: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     return lut
 
 
-def _window_knn(query: jnp.ndarray, h: int, w: int, half: int, k: int):
+def _window_knn(query: jnp.ndarray, h: int, w: int, half: int, k: int,
+                lut: Optional[jnp.ndarray] = None):
     """Exact k-NN among grid nodes via a (2*half+2)x(2*half+2) candidate
-    window anchored at floor(query).  Returns (cells (b,nq,k), d2 (b,nq,k))."""
+    window anchored at floor(query).
+
+    Without ``lut``: returns (cells (b,nq,k), d2 (b,nq,k)), distance ties
+    broken by candidate-window position.  With ``lut`` (cell -> token index):
+    returns (token_idx (b,nq,k), d2), ties broken by LOWEST TOKEN INDEX —
+    the same semantics as brute-force knn() over the token set, which matters
+    because half-integer query coords (scale_pos) tie exactly between nodes."""
     x = query[..., 0]
     y = query[..., 1]
     fx = jnp.floor(jnp.clip(x, 0, w - 1))
@@ -59,8 +66,16 @@ def _window_knn(query: jnp.ndarray, h: int, w: int, half: int, k: int):
     cells = (
         jnp.clip(gy, 0, h - 1) * w + jnp.clip(gx, 0, w - 1)
     ).astype(jnp.int32).reshape(*x.shape, win * win)
-    neg, idx = jax.lax.top_k(-d2, k)
-    return jnp.take_along_axis(cells, idx, axis=-1), -neg
+    if lut is None:
+        neg, idx = jax.lax.top_k(-d2, k)
+        return jnp.take_along_axis(cells, idx, axis=-1), -neg
+    b, nq = cells.shape[0], cells.shape[1]
+    tok = jnp.take_along_axis(lut, cells.reshape(b, -1), axis=1).reshape(
+        b, nq, win * win
+    )
+    # lexicographic (d2, token) via XLA's single-pass multi-key sort
+    d2s, toks = jax.lax.sort((d2, tok), dimension=-1, num_keys=2)
+    return toks[..., :k], d2s[..., :k]
 
 
 def grid_nn(query: jnp.ndarray, h: int, w: int, k: int = 4):
@@ -85,9 +100,7 @@ def grid_shepard_upsample(
     upsample_feature_shepard(query, db_pos, feature, k=4) semantics."""
     if lut is None:
         lut = pos_index_lut(db_pos, h, w)
-    cells, d2 = grid_nn(query, h, w, 4)
-    b, nq, _ = cells.shape
-    nn_idx = jnp.take_along_axis(lut, cells.reshape(b, -1), axis=1).reshape(b, nq, 4)
+    nn_idx, d2 = _window_knn(query, h, w, 1, 4, lut=lut)
     weights = shepard_decay_weights(d2, power=power)
     if return_weight_and_idx:
         return weights, nn_idx
@@ -97,10 +110,9 @@ def grid_shepard_upsample(
 def grid_neighbors9(pos: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """For a full-grid token set: each token's exact 9 nearest tokens as token
     indices (b, n, 9).  Replaces knn(pos, pos, 9) in PointConv."""
-    b, n, _ = pos.shape
     lut = pos_index_lut(pos, h, w)
-    cells, _ = grid_nn(pos.astype(jnp.float32), h, w, 9)
-    return jnp.take_along_axis(lut, cells.reshape(b, -1), axis=1).reshape(b, n, 9)
+    nn_idx, _ = _window_knn(pos.astype(jnp.float32), h, w, 2, 9, lut=lut)
+    return nn_idx
 
 
 def point2img_lut(x: jnp.ndarray, pos: jnp.ndarray, mask_size,

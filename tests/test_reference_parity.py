@@ -138,3 +138,228 @@ def test_aff_stage_parity(aff_pair):
     # wiring bugs show up as >=10% divergence (e.g. a wrong kv head split was
     # 0.196); cross-framework fp32 noise through softmax/erf stays ~1e-4/stage
     assert max(errs.values()) < 2e-3, f"per-stage max rel err: {errs}"
+
+
+# --------------------------------------------------------------------------
+# pixel decoder (reference msdeformattn_pc.py vs models/pixel_decoder.py)
+# --------------------------------------------------------------------------
+
+PD_CHANNELS = {"res2": 16, "res3": 24, "res4": 32, "res5": 40}
+PD_STRIDES = {"res2": 4, "res3": 8, "res4": 16, "res5": 32}
+PD_CANVAS = {"res2": (32, 32), "res3": (16, 16), "res4": (8, 8), "res5": (4, 4)}
+PD_TOKENS = {"res2": 1024, "res3": 160, "res4": 48, "res5": 16}
+CONV_DIM = 32
+
+
+def _point_cloud_features(rng):
+    """Synthetic multi-level point clouds: res2 the full permuted grid,
+    coarser levels random subsets of their grids (adaptive-downsample-like)."""
+    feats_t, feats_j = {}, {}
+    for f in ["res2", "res3", "res4", "res5"]:
+        h, w = PD_CANVAS[f]
+        n, c = PD_TOKENS[f], PD_CHANNELS[f]
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        grid = np.stack([xs, ys], 2).reshape(-1, 2).astype(np.float32)
+        sel = rng.permutation(h * w)[:n]
+        pos = grid[sel][None]
+        x = rng.standard_normal((1, n, c)).astype(np.float32)
+        feats_t[f] = torch.from_numpy(x)
+        feats_t[f + "_pos"] = torch.from_numpy(pos)
+        feats_t[f + "_spatial_shape"] = (h, w)
+        feats_j[f] = jnp.asarray(x)
+        feats_j[f + "_pos"] = jnp.asarray(pos)
+        feats_j[f + "_spatial_shape"] = (h, w)
+    return feats_t, feats_j
+
+
+def test_pixel_decoder_parity():
+    mods = _ref_modules()
+    from detectron2.layers import ShapeSpec  # stubbed
+
+    torch.manual_seed(0)
+    ref = mods["pixel_decoder"].MSDeformAttnPixelDecoder(
+        input_shape={
+            f: ShapeSpec(channels=PD_CHANNELS[f], stride=PD_STRIDES[f])
+            for f in PD_CHANNELS
+        },
+        transformer_dropout=0.0,
+        transformer_nheads=4,
+        transformer_dim_feedforward=64,
+        transformer_enc_layers=2,
+        conv_dim=CONV_DIM,
+        mask_dim=CONV_DIM,
+        norm="",
+        transformer_in_features=["res3", "res4", "res5"],
+        common_stride=4,
+        shepard_power=1.5,
+        shepard_power_learnable=True,
+    )
+    ref.eval()
+
+    from autofocusformermod_tpu.models.pixel_decoder import MSDeformAttnPixelDecoder
+
+    mine = MSDeformAttnPixelDecoder(
+        in_features=("res2", "res3", "res4", "res5"),
+        transformer_in_features=("res3", "res4", "res5"),
+        feature_strides=(4, 8, 16, 32),
+        conv_dim=CONV_DIM,
+        mask_dim=CONV_DIM,
+        transformer_nheads=4,
+        transformer_dim_feedforward=64,
+        transformer_enc_layers=2,
+        transformer_dropout=0.0,
+        common_stride=4,
+        shepard_power=1.5,
+        shepard_power_learnable=True,
+    )
+
+    feats_t, feats_j = _point_cloud_features(np.random.default_rng(1))
+
+    with jax.default_matmul_precision("highest"):
+        variables = mine.init(jax.random.PRNGKey(0), feats_j)
+
+    sd = {
+        f"sem_seg_head.pixel_decoder.{k}": v.detach().numpy()
+        for k, v in ref.state_dict().items()
+    }
+    flat_p, _ = convert_reference_state_dict(sd)
+    params = traverse_util.flatten_dict(variables["params"])
+    missing = []
+    for k in list(params.keys()):
+        src = ("head", "pixel_decoder") + k
+        if src in flat_p:
+            assert params[k].shape == flat_p[src].shape, (
+                k, params[k].shape, flat_p[src].shape)
+            params[k] = jnp.asarray(flat_p[src])
+        else:
+            missing.append(k)
+    assert not missing, f"converter missed pixel-decoder tensors: {missing}"
+    variables = {"params": traverse_util.unflatten_dict(params)}
+
+    with torch.no_grad():
+        r_mf, r_mfpos, r_tout, r_msf, r_poss = ref.forward_features(feats_t)
+    with jax.default_matmul_precision("highest"):
+        m_mf, m_mfpos, m_tout, m_msf, m_poss = mine.apply(variables, feats_j)
+
+    np.testing.assert_array_equal(
+        r_mfpos.numpy(), np.asarray(m_mfpos, np.float32))
+    pairs = [("mask_features", r_mf, m_mf), ("transformer_out", r_tout, m_tout)]
+    pairs += [(f"msf_{i}", r, m) for i, (r, m) in enumerate(zip(r_msf, m_msf))]
+    errs = {}
+    for name, r, m in pairs:
+        r = r.numpy()
+        m = np.asarray(m)
+        assert r.shape == m.shape, (name, r.shape, m.shape)
+        errs[name] = np.abs(r - m).max() / (np.abs(r).max() + 1e-8)
+    assert max(errs.values()) < 2e-3, f"pixel-decoder rel errs: {errs}"
+
+
+# --------------------------------------------------------------------------
+# transformer decoder (reference mask2former_transformer_decoder.py)
+# --------------------------------------------------------------------------
+
+def test_transformer_decoder_parity():
+    mods = _ref_modules()
+    hidden, nq, nh, ncls = 32, 20, 4, 10
+
+    torch.manual_seed(0)
+    ref = mods["decoder"].MultiScaleMaskedTransformerDecoder(
+        in_channels=hidden,
+        mask_classification=True,
+        num_classes=ncls,
+        hidden_dim=hidden,
+        num_queries=nq,
+        nheads=nh,
+        dim_feedforward=64,
+        dec_layers=6,
+        pre_norm=False,
+        mask_dim=hidden,
+        enforce_input_project=False,
+    )
+    ref.eval()
+
+    from autofocusformermod_tpu.models.transformer_decoder import (
+        MultiScaleMaskedTransformerDecoder,
+    )
+
+    mine = MultiScaleMaskedTransformerDecoder(
+        in_channels=hidden,
+        num_classes=ncls,
+        hidden_dim=hidden,
+        num_queries=nq,
+        nheads=nh,
+        dim_feedforward=64,
+        dec_layers=6,
+        pre_norm=False,
+        mask_dim=hidden,
+        enforce_input_project=False,
+    )
+
+    rng = np.random.default_rng(2)
+    xs, poss = [], []
+    for h, w, n in [(4, 4, 16), (8, 8, 48), (16, 16, 160)]:
+        ys, gx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        grid = np.stack([gx, ys], 2).reshape(-1, 2).astype(np.float32)
+        sel = rng.permutation(h * w)[:n]
+        poss.append(grid[sel][None])
+        xs.append(rng.standard_normal((1, n, hidden)).astype(np.float32))
+    ys, gx = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    grid = np.stack([gx, ys], 2).reshape(-1, 2).astype(np.float32)
+    perm = rng.permutation(1024)
+    mf_pos = grid[perm][None]
+    mask_features = rng.standard_normal((1, 1024, hidden)).astype(np.float32)
+
+    x_j = [jnp.asarray(a) for a in xs]
+    pos_j = [jnp.asarray(p) for p in poss]
+    with jax.default_matmul_precision("highest"):
+        variables = mine.init(
+            jax.random.PRNGKey(0), x_j, pos_j, jnp.asarray(mask_features),
+            jnp.asarray(mf_pos), (32, 32),
+        )
+
+    sd = {
+        f"sem_seg_head.predictor.{k}": v.detach().numpy()
+        for k, v in ref.state_dict().items()
+    }
+    flat_p, _ = convert_reference_state_dict(sd)
+    params = traverse_util.flatten_dict(variables["params"])
+    missing = []
+    for k in list(params.keys()):
+        src = ("head", "predictor") + k
+        if src in flat_p:
+            assert params[k].shape == flat_p[src].shape, (
+                k, params[k].shape, flat_p[src].shape)
+            params[k] = jnp.asarray(flat_p[src])
+        else:
+            missing.append(k)
+    assert not missing, f"converter missed decoder tensors: {missing}"
+    variables = {"params": traverse_util.unflatten_dict(params)}
+
+    with torch.no_grad():
+        r_out = ref(
+            [torch.from_numpy(a) for a in xs],
+            [torch.from_numpy(p) for p in poss],
+            torch.from_numpy(mask_features),
+            torch.from_numpy(mf_pos),
+        )
+    with jax.default_matmul_precision("highest"):
+        m_out = mine.apply(
+            variables, x_j, pos_j, jnp.asarray(mask_features),
+            jnp.asarray(mf_pos), (32, 32),
+        )
+
+    errs = {}
+    pairs = [
+        ("pred_logits", r_out["pred_logits"], m_out["pred_logits"]),
+        ("pred_masks", r_out["pred_masks"], m_out["pred_masks"]),
+        ("aux0_masks", r_out["aux_outputs"][0]["pred_masks"],
+         m_out["aux_outputs"][0]["pred_masks"]),
+        ("aux3_logits", r_out["aux_outputs"][3]["pred_logits"],
+         m_out["aux_outputs"][3]["pred_logits"]),
+    ]
+    for name, r, m in pairs:
+        r = r.numpy()
+        m = np.asarray(m)
+        assert r.shape == m.shape, (name, r.shape, m.shape)
+        errs[name] = np.abs(r - m).max() / (np.abs(r).max() + 1e-8)
+    assert max(errs.values()) < 2e-3, f"decoder rel errs: {errs}"
