@@ -202,9 +202,9 @@ def nbhd_from_cluster_ids(pos, nc, span: int, n: int, query_pos=None):
     valid = member < n
     member = jnp.where(valid, member, 0)
     cluster_mask = None if (n % span == 0) else valid.astype(jnp.float32)
-    pos_nb = jnp.take_along_axis(pos, member.reshape(b, -1, 1), axis=1).reshape(
-        b, nq, nnc * span, 2
-    )
+    from ..ops.gather import take_rows
+
+    pos_nb = take_rows(pos, member)                   # (b, nq, nnc*span, 2)
     q = pos[:, :nq] if query_pos is None else query_pos
     rel_feat5 = rel_pos_features(pos_nb - q[:, :, None, :])
     return member, cluster_mask, rel_feat5

@@ -70,9 +70,9 @@ def _window_knn(query: jnp.ndarray, h: int, w: int, half: int, k: int,
         neg, idx = jax.lax.top_k(-d2, k)
         return jnp.take_along_axis(cells, idx, axis=-1), -neg
     b, nq = cells.shape[0], cells.shape[1]
-    tok = jnp.take_along_axis(lut, cells.reshape(b, -1), axis=1).reshape(
-        b, nq, win * win
-    )
+    from ..ops.gather import take_scalars
+
+    tok = take_scalars(lut, cells)                     # (b, nq, win*win)
     # lexicographic (d2, token) via XLA's single-pass multi-key sort
     d2s, toks = jax.lax.sort((d2, tok), dimension=-1, num_keys=2)
     return toks[..., :k], d2s[..., :k]

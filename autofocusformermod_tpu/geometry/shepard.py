@@ -58,9 +58,9 @@ def upsample_feature_shepard(
     else:
         k = nn_idx.shape[-1]
 
-    nn_pos = jnp.take_along_axis(
-        database, nn_idx.reshape(b, n * k, 1), axis=1
-    ).reshape(b, n, k, d)
+    from ..ops.gather import take_rows
+
+    nn_pos = take_rows(database, nn_idx)                     # (b, n, k, d)
     nn_dist = jnp.sum((query[:, :, None, :] - nn_pos) ** 2, axis=-1)  # squared!
 
     nn_weights = shepard_decay_weights(nn_dist, power=power)

@@ -39,7 +39,9 @@ from .layers import DropPath, Mlp, rel_pos_features
 
 def _gather_by_idx(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """x: (b, n, c); idx: (b, n_) -> (b, n_, c)."""
-    return jnp.take_along_axis(x, idx[..., None], axis=1)
+    from ..ops.gather import take_rows
+
+    return take_rows(x, idx)
 
 
 from ..geometry.cluster import nbhd_from_cluster_ids as _nbhd_from_clusters
@@ -248,8 +250,10 @@ class ClusterMerging(nn.Module):
             idx = sample_idx
         idx = idx.astype(jnp.int32)  # (b, keep_num)
 
+        from ..ops.gather import take_rows
+
         new_pos = _gather_by_idx(pos, idx)
-        nc_k = jnp.take_along_axis(nc, idx[..., None], axis=1)   # (b, n', nnc)
+        nc_k = take_rows(nc, idx)                                # (b, n', nnc)
         # rebuild the kept tokens' neighborhoods only (4x smaller than full-n)
         member_idx_k, mask_k, rel5_k = _nbhd_from_clusters_at(
             pos, new_pos, nc_k, span, n
@@ -260,9 +264,7 @@ class ClusterMerging(nn.Module):
         weights = WeightNet(self.inner_ch, name="weight_net")(rel5_k)  # (b, n', m, ic)
 
         if learned_prob is not None:
-            lp = jnp.take_along_axis(
-                learned_prob, member_idx_k.reshape(b, -1, 1), axis=1
-            ).reshape(b, keep_num, m, 1)
+            lp = take_rows(learned_prob, member_idx_k)  # (b, n', m, 1)
             if mask_k is not None:
                 lp = lp * mask_k[..., None]
             weights = weights * lp

@@ -28,6 +28,7 @@ from ..geometry.knn import knn
 from ..geometry.gridnn import grid_neighbors9
 from ..geometry.shepard import shepard_decay_weights, upsample_feature_shepard
 from ..ops.clusten import cluster_wf, msdetrpc
+from ..ops.gather import take_rows
 from .layers import WeightNet, position_embedding_sine, rel_pos_features
 
 
@@ -62,7 +63,7 @@ class PointConv(nn.Module):
         else:
             nn_idx = knn(pos, pos, min(9, n))
         kk = nn_idx.shape[-1]
-        nn_pos = jnp.take_along_axis(pos, nn_idx.reshape(b, -1, 1), axis=1).reshape(b, n, kk, 2)
+        nn_pos = take_rows(pos, nn_idx)                      # (b, n, kk, 2)
         rel = pos[:, :, None, :] - nn_pos
         # the reference looks rel up in the integer table; positions here can be
         # fractional after rescaling — it truncates via .long(); match that
@@ -166,9 +167,9 @@ class MSDeformAttnPc(nn.Module):
                 gx = jnp.clip(sl[..., 0], 0, grid_hw[1] - 1)
                 gy = jnp.clip(sl[..., 1], 0, grid_hw[0] - 1) * grid_hw[1]
                 gather_idx = (gx + gy).reshape(b, h * n_i * k)  # (b, h*n_i*k)
-                packed = jnp.take_along_axis(
-                    nb_packed[j], gather_idx[..., None], axis=1
-                ).reshape(b * h, n_i * k, 12)
+                packed = take_rows(nb_packed[j], gather_idx).reshape(
+                    b * h, n_i * k, 12
+                )
                 nb_real = packed[..., 0:4].astype(jnp.int32)
                 nb_x = packed[..., 4:8]
                 nb_y = packed[..., 8:12]
@@ -193,9 +194,7 @@ def pack_neighbor_table(nb_idx: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     nb_idx: (b, hw, 4) into level tokens; pos: (b, n_l, 2) level positions
     -> (b, hw, 12) [idx x4 | x x4 | y x4] (idx exact in f32 below 2^24)."""
     b, hw, _ = nb_idx.shape
-    nb_pos = jnp.take_along_axis(
-        pos, nb_idx.reshape(b, -1, 1), axis=1
-    ).reshape(b, hw, 4, 2)
+    nb_pos = take_rows(pos, nb_idx)                          # (b, hw, 4, 2)
     return jnp.concatenate(
         [nb_idx.astype(jnp.float32), nb_pos[..., 0], nb_pos[..., 1]], axis=-1
     )

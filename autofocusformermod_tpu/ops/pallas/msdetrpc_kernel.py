@@ -3,34 +3,40 @@
 The XLA composition (ops/clusten.msdetrpc) gathers 4 value rows per sampled
 point — b*h x n x 48 row-gathers per encoder layer, the pixel decoder's
 dominant cost (~90 ms/layer at 512x512 batch 4; XLA row-gathers run at only
-~93M rows/s regardless of row width).
+~115M rows/s regardless of row width, and neither bf16 rows, pre-sorted
+indices, nor Mosaic's tpu.dynamic_gather (single-vreg tables only) beat it).
 
-Reformulation: the value table is small (sum of level sizes x c_, ~700 KB per
-(b, h)) and fits in VMEM, and sample indices are SFC-local within each level's
-segment of the table.  So per 128-query block and per level, visit only the
-value col-blocks in that level's [min, max] index range and accumulate
+Reformulation as DENSE one-hot x matmul, blocked per level:
 
-    W[q, col] = sum_p w'[q, p] * (idx[q, p] == col)     (VPU, 16 pairs/level)
-    out      += W @ values[col-block]                   (MXU)
+    out[q] = sum_j  W_j @ V_j,     W_j[q, t] = sum_p w'[q,p] * (idx[q,p] == t)
 
-which equals the gather-sum exactly (duplicate indices accumulate in W).
-w' carries the attention weights folded in (w * attn), matching
-msdetrpc_cuda_kernel.cu semantics.
+For each 128-query block and level j, W_j (128 x n_j) is built in VMEM by 16
+statically-unrolled compare-selects (VPU) and immediately contracted against
+the level's value rows (MXU).  Total per encoder layer at 512x512 batch 4:
+~30G VPU ops + ~30 GMAC — an order of magnitude faster than the row-gathers
+because both units run at full rate on static shapes.  Duplicate indices
+accumulate in W, matching the gather-sum exactly (msdetrpc_cuda_kernel.cu
+semantics); w' carries the attention weights folded in (w * attn).
 
-Backward runs through the XLA composition via custom_vjp.
+The round-1 version of this kernel used dynamic [lo, hi] tile windows with a
+fori_loop and was 7x SLOWER than XLA: dynamic trip counts defeat Mosaic's
+pipelining and the per-tile 128x128 dots serialized on MXU latency.  Fully
+dense per-level blocks with static unrolling are the fix — "dense + static"
+beats "sparse + dynamic" on TPU even at 1/5 the arithmetic.
 
-STATUS: parity-exact (tested on TPU, max err ~1e-5) but currently SLOWER than
-the XLA gather composition at pixel-decoder scale (465 ms vs 64 ms for
-32x5376x48 pairs): the per-tile fori_loop + 16 compare/select passes cost
-~8 us/tile, and even tight SFC locality leaves ~9 tiles per query block.  Not
-wired into the model; kept as the starting point for a restructured kernel
-(per-level query grouping with shared tiles / double-buffered value DMA).
+Backward runs through the XLA composition via custom_vjp (scatter-add
+gathers appear only in the training path where they are a minor cost next to
+the matmul backward).
+
+Requires every level size (and the query count after padding) to be a
+multiple of 128; the pixel decoder guarantees this for standard crops, and
+the wrapper falls back to the XLA composition otherwise.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,54 +47,31 @@ from jax.experimental.pallas import tpu as pltpu
 from ..clusten import msdetrpc as msdetrpc_xla
 
 BLOCK_Q = 128
-BLOCK_V = 128
 
 
-def _kernel(
-    lo_ref,     # SMEM (BH, nq_blocks*L) - flattened to dodge lane padding
-    hi_ref,     # SMEM (BH, nq_blocks*L)
-    idx_ref,    # (1, BQ, L, P) int32  (global value-table indices)
-    w_ref,      # (1, BQ, L, P) f32    (attn-folded weights)
-    val_ref,    # (1, ntot, c_)
-    out_ref,    # (1, BQ, c_)
-    *,
-    n_levels: int,
-    pairs: int,
-):
-    bh = pl.program_id(0)
-    qb = pl.program_id(1)
+def _kernel(idx_ref, w_ref, val_ref, out_ref, *, level_sizes, pairs_per_level):
+    """idx_ref/w_ref: (1, BQ, L, P) — value-table indices (global) and
+    attn-folded weights, regrouped per level; val_ref: (1, ntot, c_)."""
     bq = idx_ref.shape[1]
     c_ = val_ref.shape[2]
 
-    acc0 = jnp.zeros((bq, c_), jnp.float32)
-
-    def level_loop(acc, j):
-        idx_j = idx_ref[0, :, j, :]        # (BQ, P)
+    acc = jnp.zeros((bq, c_), jnp.float32)
+    off = 0
+    for j, nj in enumerate(level_sizes):
+        idx_j = idx_ref[0, :, j, :]                       # (BQ, P)
         w_j = w_ref[0, :, j, :]
-
-        def body(vb, acc):
-            col = (
-                vb * BLOCK_V
-                + jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK_V), 1)
-            )                                                  # (1, BV)
-            wmat = jnp.zeros((bq, BLOCK_V), jnp.float32)
-            for p in range(pairs):
-                hit = idx_j[:, p : p + 1] == col               # (BQ, BV)
-                wmat = wmat + jnp.where(hit, w_j[:, p : p + 1], 0.0)
-            vblk = val_ref[0, pl.ds(vb * BLOCK_V, BLOCK_V), :]  # (BV, c_)
-            return acc + jax.lax.dot_general(
-                wmat, vblk, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, nj), 1) + off
+        wmat = jnp.zeros((bq, nj), jnp.float32)
+        for p in range(pairs_per_level):
+            wmat = wmat + jnp.where(
+                idx_j[:, p : p + 1] == col, w_j[:, p : p + 1], 0.0
             )
-
-        lo = lo_ref[bh, qb * n_levels + j]
-        hi = hi_ref[bh, qb * n_levels + j]
-        return jax.lax.fori_loop(lo, hi + 1, body, acc)
-
-    acc = acc0
-    for j in range(n_levels):
-        acc = level_loop(acc, j)
+        vblk = val_ref[0, off : off + nj, :]              # (nj, c_)
+        acc = acc + jax.lax.dot_general(
+            wmat, vblk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        off += nj
     out_ref[0] = acc
 
 
@@ -101,9 +84,21 @@ def _pad_to(x, mult, axis, value=0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-def msdetrpc_pallas_impl(nn_idx, nn_weight, attn, val, n_levels: int):
+def msdetrpc_pallas_supported(nn_idx, val, n_levels: int,
+                              level_sizes: Sequence[int]) -> bool:
+    ntot = val.shape[1]
+    return (
+        sum(level_sizes) == ntot
+        and all(nj % 128 == 0 for nj in level_sizes)
+        and nn_idx.shape[2] % n_levels == 0
+    )
+
+
+def msdetrpc_pallas_impl(nn_idx, nn_weight, attn, val,
+                         level_sizes: Tuple[int, ...]):
     bh, n, m, kk = nn_idx.shape
     ntot, c_ = val.shape[1:]
+    n_levels = len(level_sizes)
     assert m % n_levels == 0
     kpts = m // n_levels
     pairs = kpts * kk
@@ -118,49 +113,54 @@ def msdetrpc_pallas_impl(nn_idx, nn_weight, attn, val, n_levels: int):
     n_pad = -(-n // BLOCK_Q) * BLOCK_Q
     idx = _pad_to(idx, BLOCK_Q, 1, value=0)
     wr = _pad_to(wr, BLOCK_Q, 1, value=0.0)     # zero weights: pad rows inert
-    ntot_pad = -(-ntot // BLOCK_V) * BLOCK_V
-    val_p = _pad_to(val.astype(jnp.float32), BLOCK_V, 1)
-
+    val_f = val.astype(jnp.float32)
     nqb = n_pad // BLOCK_Q
-    idx_blk = idx.reshape(bh, nqb, BLOCK_Q, n_levels, pairs)
-    lo = (jnp.min(idx_blk, axis=(2, 4)) // BLOCK_V).astype(jnp.int32)
-    hi = (jnp.max(idx_blk, axis=(2, 4)) // BLOCK_V).astype(jnp.int32)
-    lo = lo.reshape(bh, nqb * n_levels)   # flat: SMEM pads the last dim
-    hi = hi.reshape(bh, nqb * n_levels)
 
-    kernel = functools.partial(_kernel, n_levels=n_levels, pairs=pairs)
+    kernel = functools.partial(
+        _kernel, level_sizes=tuple(level_sizes), pairs_per_level=pairs
+    )
     out = pl.pallas_call(
         kernel,
         grid=(bh, nqb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, BLOCK_Q, n_levels, pairs), lambda b, q: (b, q, 0, 0)),
-            pl.BlockSpec((1, BLOCK_Q, n_levels, pairs), lambda b, q: (b, q, 0, 0)),
-            pl.BlockSpec((1, ntot_pad, c_), lambda b, q: (b, 0, 0)),
+            pl.BlockSpec((1, BLOCK_Q, n_levels, pairs), lambda b, q: (b, q, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, n_levels, pairs), lambda b, q: (b, q, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ntot, c_), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BLOCK_Q, c_), lambda b, q: (b, q, 0)),
+        out_specs=pl.BlockSpec((1, BLOCK_Q, c_), lambda b, q: (b, q, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, n_pad, c_), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(lo, hi, idx, wr, val_p)
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bh * nqb * BLOCK_Q * ntot * (pairs + c_),
+            bytes_accessed=bh * (ntot * c_ * 4 + n_pad * n_levels * pairs * 8),
+            transcendentals=0,
+        ),
+    )(idx, wr, val_f)
     return out[:, :n]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def msdetrpc_pallas(nn_idx, nn_weight, attn, val, n_levels):
-    """Fused deformable point-cloud sampling (see module docstring)."""
-    return msdetrpc_pallas_impl(nn_idx, nn_weight, attn, val, n_levels)
+def msdetrpc_pallas(nn_idx, nn_weight, attn, val, level_sizes):
+    """Fused deformable point-cloud sampling (see module docstring).
+
+    level_sizes: static tuple of per-level token counts; their segments
+    partition the value table in order (all multiples of 128)."""
+    return msdetrpc_pallas_impl(nn_idx, nn_weight, attn, val, level_sizes)
 
 
-def _fwd(nn_idx, nn_weight, attn, val, n_levels):
-    return msdetrpc_pallas_impl(nn_idx, nn_weight, attn, val, n_levels), (
+def _fwd(nn_idx, nn_weight, attn, val, level_sizes):
+    return msdetrpc_pallas_impl(nn_idx, nn_weight, attn, val, level_sizes), (
         nn_idx, nn_weight, attn, val,
     )
 
 
-def _bwd(n_levels, res, g):
+def _bwd(level_sizes, res, g):
     nn_idx, nn_weight, attn, val = res
 
     def f(nn_weight, attn, val):

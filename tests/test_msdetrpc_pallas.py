@@ -20,7 +20,7 @@ def test_msdetrpc_pallas_parity():
 
     rng = np.random.default_rng(0)
     bh, n, L, kpts, kk, c_ = 4, 300, 3, 4, 4, 32
-    sizes = [64, 256, 1024]
+    sizes = [128, 256, 1024]   # level sizes must be multiples of 128
     offs = np.cumsum([0] + sizes)
     ntot = int(offs[-1])
     m = kpts * L
@@ -41,6 +41,6 @@ def test_msdetrpc_pallas_parity():
     )
     out = np.asarray(
         msdetrpc_pallas(jnp.asarray(nn_idx), jnp.asarray(nn_w),
-                        jnp.asarray(attn), jnp.asarray(val), L)
+                        jnp.asarray(attn), jnp.asarray(val), tuple(sizes))
     )
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
