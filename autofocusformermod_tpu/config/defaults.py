@@ -118,6 +118,10 @@ def get_cfg() -> CN:
 
     _C.TEST = CN()
     _C.TEST.EXPECTED_RESULTS = []
+    # framework knob (no reference equivalent key — the reference enables
+    # artifact dumps by selecting SemSegEvaluatorSave): save colorized
+    # prediction PNG + raw npy + error map under OUTPUT_DIR/inference_output
+    _C.TEST.SAVE_EVAL_ARTIFACTS = False
     _C.TEST.EVAL_PERIOD = 0
     _C.TEST.DETECTIONS_PER_IMAGE = 100
     _C.TEST.AUG = CN()

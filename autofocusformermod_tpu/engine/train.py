@@ -25,6 +25,11 @@ from ..data import (
     register_all_builtin,
 )
 from ..evaluation import InstanceSegEvaluator, PanopticEvaluator, SemSegEvaluator
+from ..evaluation.sem_seg_evaluation import (
+    MaskFinerSemSegEvaluator,
+    MetaLossSemSegEvaluator,
+)
+from ..evaluation.distributed import merge_across_processes
 from ..losses import set_criterion  # noqa: F401  (re-exported for users)
 from ..models import build_model, upsample_masks
 from ..models.inference import semantic_inference, sem_seg_postprocess
@@ -243,7 +248,36 @@ class Trainer:
                     f"{k}={v:.2f}" for k, v in results[name].items()
                     if not k.startswith("IoU-")
                 ))
+        self.verify_results(results)
         return results
+
+    def verify_results(self, results: Dict[str, Dict[str, float]]) -> bool:
+        """Assert metrics against cfg.TEST.EXPECTED_RESULTS (reference
+        train_net.py:396 / detectron2 verify_results).  Entries are
+        [task, metric, expected, tolerance] where task matches a dataset
+        name (or 'sem_seg'-style task key)."""
+        expected = self.cfg.TEST.EXPECTED_RESULTS
+        if not expected:
+            return True
+        flat = {}
+        for ds, metrics in results.items():
+            for k, v in metrics.items():
+                flat[f"{ds}/{k}"] = v
+                flat[k] = v
+        ok = True
+        for task, metric, ref_val, tol in expected:
+            key = f"{task}/{metric}" if f"{task}/{metric}" in flat else metric
+            actual = flat.get(key)
+            if actual is None or abs(actual - ref_val) > tol:
+                ok = False
+                if self.is_main:
+                    print(f"[verify_results] FAIL {task}/{metric}: "
+                          f"got {actual}, expected {ref_val} +/- {tol}")
+            elif self.is_main:
+                print(f"[verify_results] OK {task}/{metric}: {actual:.3f} "
+                      f"(expected {ref_val} +/- {tol})")
+        assert ok, "verify_results failed (see log)"
+        return ok
 
     def _predict_image(self, variables, img: np.ndarray):
         """Pad to divisibility, run the model, return (logits, masks at
@@ -288,6 +322,7 @@ class Trainer:
                 cfg.MODEL.MASK_FORMER.TEST.OVERLAP_THRESHOLD,
             )
             evaluator.process(pan, info, sample["pan_seg"], sample["segments_info"])
+        merge_across_processes(evaluator)
         return evaluator.evaluate()
 
     def _eval_instance(self, dataset_name: str) -> Dict[str, float]:
@@ -306,7 +341,11 @@ class Trainer:
         for t in thing_ids.values():
             if 0 <= t < nc:
                 is_thing[t] = True
-        evaluator = InstanceSegEvaluator(nc)
+        evaluator = InstanceSegEvaluator(
+            nc,
+            output_dir=cfg.OUTPUT_DIR or None,
+            contiguous_id_to_dataset_id={v: k for k, v in thing_ids.items()},
+        )
         mapper = MaskFormerInstanceDatasetMapper(
             is_train=False,
             min_size_test=cfg.INPUT.MIN_SIZE_TEST,
@@ -353,16 +392,30 @@ class Trainer:
                 pm, np.asarray(inst["labels"]), np.asarray(inst["scores"]),
                 np.stack(gm), np.asarray(gl),
             )
+        merge_across_processes(evaluator)
+        if self.is_main:
+            evaluator.save_coco_results()
         return evaluator.evaluate()
 
     def _eval_sem_seg(self, dataset_name: str) -> Dict[str, float]:
         cfg = self.cfg
         meta = MetadataCatalog.get(dataset_name)
         nc = cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES
-        evaluator = SemSegEvaluator(
+        arch = cfg.MODEL.META_ARCHITECTURE
+        # evaluator dispatch mirrors reference Trainer.build_evaluator
+        # (train_net.py:108-212): MaskFiner/ML variants save their extra maps
+        ev_cls = SemSegEvaluator
+        if "MaskFiner" in arch:
+            ev_cls = MaskFinerSemSegEvaluator
+        elif arch == "MaskFormerML":
+            ev_cls = MetaLossSemSegEvaluator
+        save_artifacts = bool(getattr(cfg.TEST, "SAVE_EVAL_ARTIFACTS", False))
+        evaluator = ev_cls(
             nc,
             ignore_label=meta.get("ignore_label", 255),
             class_names=meta.get("stuff_classes"),
+            output_dir=cfg.OUTPUT_DIR,
+            save_predictions=save_artifacts and bool(cfg.OUTPUT_DIR),
         )
         mapper = MaskFormerSemanticDatasetMapper.from_config(cfg, is_train=False)
         dataset = DatasetCatalog.get(dataset_name)
@@ -377,17 +430,38 @@ class Trainer:
             masks = upsample_masks(out["pred_masks"], (h, w))[0]
             return out["pred_logits"][0], masks
 
-        for sample in eval_loader(
-            dataset, mapper,
-            process_index=self.process_index, process_count=self.process_count,
-        ):
-            img = sample["image"]
+        def predict_scores(img: np.ndarray) -> np.ndarray:
+            """image (h, w, 3) -> semantic class scores (nc, h, w)."""
             h, w = img.shape[:2]
             ph = -(-h // div) * div
             pw = -(-w // div) * div
             img_p = np.pad(img, ((0, ph - h), (0, pw - w), (0, 0)))
             logits, masks = predict(variables, jnp.asarray(img_p))
             sem = semantic_inference(logits, masks)
+            return sem[:, :h, :w]
+
+        if cfg.TEST.AUG.ENABLED:
+            # multi-scale + flip averaging (reference train_net.py:336-350 ->
+            # SemanticSegmentorWithTTA)
+            from ..models.tta import SemanticSegmentorWithTTA
+
+            tta = SemanticSegmentorWithTTA(
+                predict_scores,
+                min_sizes=cfg.TEST.AUG.MIN_SIZES,
+                max_size=cfg.TEST.AUG.MAX_SIZE,
+                flip=cfg.TEST.AUG.FLIP,
+            )
+
+        for sample in eval_loader(
+            dataset, mapper,
+            process_index=self.process_index, process_count=self.process_count,
+        ):
+            img = sample["image"]
+            h, w = img.shape[:2]
+            if cfg.TEST.AUG.ENABLED:
+                sem = jnp.asarray(tta(img))
+            else:
+                sem = predict_scores(img)
             sem = sem_seg_postprocess(sem, (h, w), (sample["height"], sample["width"]))
             pred = np.asarray(jnp.argmax(sem, axis=0))
             gt = sample["sem_seg"]
@@ -399,4 +473,5 @@ class Trainer:
                     interpolation=cv2.INTER_NEAREST,
                 )
             evaluator.process(pred, gt, sample.get("file_name", ""))
+        merge_across_processes(evaluator)
         return evaluator.evaluate()

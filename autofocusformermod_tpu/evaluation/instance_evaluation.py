@@ -60,10 +60,42 @@ def rle_decode_bool(rle: Dict) -> np.ndarray:
 
 
 class InstanceSegEvaluator:
-    def __init__(self, num_classes: int, class_names=None):
+    def __init__(self, num_classes: int, class_names=None,
+                 output_dir=None, contiguous_id_to_dataset_id=None):
         self.num_classes = num_classes
         self.class_names = class_names or [str(i) for i in range(num_classes)]
+        self.output_dir = output_dir
+        # contiguous model class -> dataset category id, for COCO-json output
+        # (reference instance_evaluation.py:40-52 reverse_id_mapping)
+        self.contiguous_id_to_dataset_id = contiguous_id_to_dataset_id or {}
         self.reset()
+
+    def save_coco_results(self):
+        """Write coco_instances_results.json (reference
+        instance_evaluation.py:54-60): one record per detection with RLE
+        segmentation, loadable by pycocotools."""
+        import json
+        import os
+
+        if not self.output_dir:
+            return None
+        results = []
+        for img_id, cls, score, rle in self._dets:
+            h, w = rle["size"]
+            results.append({
+                "image_id": img_id,
+                "category_id": self.contiguous_id_to_dataset_id.get(cls, cls),
+                "score": score,
+                "segmentation": {
+                    "size": [int(h), int(w)],
+                    "counts": [int(c) for c in rle["counts"]],
+                },
+            })
+        os.makedirs(self.output_dir, exist_ok=True)
+        path = os.path.join(self.output_dir, "coco_instances_results.json")
+        with open(path, "w") as f:
+            json.dump(results, f)
+        return path
 
     def reset(self):
         # per (image, class): matching results at each IoU threshold

@@ -35,8 +35,53 @@ class SemSegEvaluator:
             (self.num_classes + 1, self.num_classes + 1), dtype=np.int64
         )
 
-    def process(self, pred: np.ndarray, gt: np.ndarray, file_name: str = ""):
-        """pred: (h, w) predicted class ids; gt: (h, w) gt ids (ignore=255)."""
+    def _color_map(self) -> np.ndarray:
+        """The reference's deterministic HSV palette (semseg_evaluation.py:
+        evenly spaced hues at s=v=0.75, shuffled with Random(1337))."""
+        import colorsys
+        import random
+
+        hsv = [(i / self.num_classes, 0.75, 0.75) for i in range(self.num_classes)]
+        random.Random(1337).shuffle(hsv)
+        return (np.array([colorsys.hsv_to_rgb(*c) for c in hsv]) * 255).astype(
+            np.uint8
+        )
+
+    def save_artifacts(self, pred, gt, file_name: str, extras: Optional[Dict] = None):
+        """Colorized prediction PNG + raw npy + red error-map PNG (reference
+        SemSegEvaluatorSave.save_sem_seg/save_error_map) and grayscale PNGs
+        for any extra maps (MaskFiner disagreement masks, MetaLoss maps)."""
+        from PIL import Image
+
+        out_dir = os.path.join(self.output_dir, "inference_output")
+        os.makedirs(out_dir, exist_ok=True)
+        fn = os.path.splitext(os.path.basename(file_name or "pred"))[0]
+
+        pred = np.asarray(pred, np.int64)
+        cmap = self._color_map()
+        rgb = cmap[np.clip(pred, 0, self.num_classes - 1)]
+        Image.fromarray(rgb, "RGB").save(os.path.join(out_dir, fn + "_sem_seg.png"))
+        np.save(os.path.join(out_dir, fn + "_sem_seg_raw.npy"), pred)
+
+        if gt is not None and np.asarray(gt).shape == pred.shape:
+            gt = np.asarray(gt, np.int64)
+            err = np.zeros(pred.shape + (3,), np.uint8)
+            err[..., 0] = np.where(
+                (pred != gt) & (gt != self.ignore_label), 255, 0
+            )
+            Image.fromarray(err, "RGB").save(os.path.join(out_dir, fn + "_error.png"))
+
+        for k, v in (extras or {}).items():
+            arr = np.clip(np.asarray(v, np.float32), 0, 255).astype(np.uint8)
+            Image.fromarray(arr, "L").save(os.path.join(out_dir, f"{fn}_{k}.png"))
+
+    def process(self, pred: np.ndarray, gt: np.ndarray, file_name: str = "",
+                extras: Optional[Dict] = None):
+        """pred: (h, w) predicted class ids; gt: (h, w) gt ids (ignore=255);
+        extras: optional named (h, w) maps dumped alongside predictions."""
+        if self.save_predictions and self.output_dir:
+            self.save_artifacts(pred, gt, file_name, extras)
+
         pred = np.asarray(pred, np.int64).reshape(-1)
         gt = np.asarray(gt, np.int64).reshape(-1)
         gt = np.where(gt == self.ignore_label, self.num_classes, gt)
@@ -46,12 +91,6 @@ class SemSegEvaluator:
         self._conf += np.bincount(
             idx, minlength=(self.num_classes + 1) ** 2
         ).reshape(self.num_classes + 1, self.num_classes + 1)
-
-        if self.save_predictions and self.output_dir:
-            os.makedirs(self.output_dir, exist_ok=True)
-            base = os.path.splitext(os.path.basename(file_name or "pred"))[0]
-            np.save(os.path.join(self.output_dir, base + "_pred.npy"),
-                    pred.astype(np.uint16))
 
     def merge(self, other: "SemSegEvaluator"):
         self._conf += other._conf
@@ -77,3 +116,24 @@ class SemSegEvaluator:
             if valid[i]:
                 results[f"IoU-{name}"] = float(iou[i] * 100)
         return results
+
+
+class MaskFinerSemSegEvaluator(SemSegEvaluator):
+    """SemSeg evaluation + per-stage disagreement-mask dumps (reference
+    maskfiner_evaluation.py:59-108): pass the model's ``disagreement_mask_*``
+    maps via ``extras`` and they are saved as grayscale PNGs next to the
+    colorized prediction."""
+
+
+class MetaLossSemSegEvaluator(SemSegEvaluator):
+    """SemSeg evaluation + predicted meta-loss map dumps (reference
+    meta_loss_evaluation.py:7): pass ``meta_loss_candidates_scale_*`` maps
+    via ``extras``; saved as ``<fn>_meta_loss_scale_<s>.png``."""
+
+    def process(self, pred, gt, file_name="", extras=None):
+        extras = {
+            (f"meta_loss_scale_{k[-1]}" if k.startswith("meta_loss_candidates_scale_")
+             else k): v
+            for k, v in (extras or {}).items()
+        }
+        super().process(pred, gt, file_name, extras)

@@ -112,7 +112,8 @@ class ConvNeXtV2Stage(nn.Module):
 
     @nn.compact
     def __call__(self, im, features, features_pos, upsampling_mask,
-                 tokens_per_scale, train: bool = False):
+                 tokens_per_scale, train: bool = False, k_split=None):
+        # k_split accepted for stage-interface uniformity (grid stage)
         from .mixres import (
             OverlapPatchEmbedding,
             get_2dpos_of_curr_ps_in_min_ps,

@@ -492,9 +492,10 @@ class MaskPredictor(nn.Module):
 
     @nn.compact
     def __call__(self, im, features, features_pos, upsampling_mask,
-                 tokens_per_scale, train: bool = False):
+                 tokens_per_scale, train: bool = False, k_split=None):
         feats, tokens_per_scale = self.backbone(
-            im, features, features_pos, upsampling_mask, tokens_per_scale, train
+            im, features, features_pos, upsampling_mask, tokens_per_scale, train,
+            k_split=k_split,
         )
         (mask_features, mf_pos, ms_feats, ms_poss, ms_scales, finest_input_shape,
          input_shapes) = self.pixel_decoder(feats, deterministic=not train)
@@ -526,9 +527,10 @@ class MaskPredictorOracleTeacher(nn.Module):
 
     @nn.compact
     def __call__(self, im, features, features_pos, upsampling_mask,
-                 tokens_per_scale, train: bool = False):
+                 tokens_per_scale, train: bool = False, k_split=None):
         feats, tokens_per_scale = self.backbone(
-            im, features, features_pos, upsampling_mask, tokens_per_scale, train
+            im, features, features_pos, upsampling_mask, tokens_per_scale, train,
+            k_split=k_split,
         )
         (mask_features, mf_pos, ms_feats, ms_poss, ms_scales, finest_input_shape,
          input_shapes) = self.pixel_decoder(feats, deterministic=not train)
@@ -565,7 +567,10 @@ class MaskFiner(nn.Module):
     pixel_std: Sequence[float] = (58.395, 57.12, 57.375)
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray, train: bool = False) -> Dict:
+    def __call__(self, images: jnp.ndarray, train: bool = False,
+                 k_splits=None) -> Dict:
+        """k_splits: optional per-stage static split-count overrides (the
+        bucketed eval-time dynamic ratios — see maskfiner_dynamic_eval)."""
         x = (images - jnp.asarray(self.pixel_mean, images.dtype)) / jnp.asarray(
             self.pixel_std, images.dtype
         )
@@ -578,7 +583,8 @@ class MaskFiner(nn.Module):
         outs = None
         for l_idx, predictor in enumerate(self.mask_predictors):
             outs, features, features_pos, upsampling_mask, seg_sizes, _tps = predictor(
-                x, features, features_pos, upsampling_mask, tokens_per_scale, train
+                x, features, features_pos, upsampling_mask, tokens_per_scale, train,
+                k_split=None if k_splits is None else k_splits[l_idx],
             )
             tokens_per_scale = seg_sizes
             disagreements.append(upsampling_mask)
@@ -590,6 +596,65 @@ class MaskFiner(nn.Module):
             "disagreement_masks": tuple(disagreements),
             "features_pos": features_pos,
         }
+
+
+def maskfiner_dynamic_eval(
+    model: "MaskFiner",
+    variables,
+    images,
+    threshold: float = 0.5,
+    cap_ratio: float = 1.0,
+    buckets=(0.1, 0.25, 0.5, 0.75, 1.0),
+) -> Dict:
+    """Eval-time DYNAMIC upsample ratios (reference
+    mixres_neighbour.py:700-711), bucketed to static shapes.
+
+    Runs the cascade stage-by-stage: after each stage the disagreement mask
+    is brought to host, the fraction above ``threshold`` is quantized to a
+    bucket (mixres.dynamic_k_split), and the next stage runs with that static
+    ``k_split`` — one compiled program per (stage, bucket).  Semantics match
+    the reference's clamp(frac, 0.1, cap) rule up to bucket rounding."""
+    from .mixres import dynamic_k_split
+
+    def run_stage(m, idx, im, features, features_pos, upsampling_mask,
+                  tokens_per_scale, k_split):
+        x = (im - jnp.asarray(m.pixel_mean, im.dtype)) / jnp.asarray(
+            m.pixel_std, im.dtype
+        )
+        return m.mask_predictors[idx](
+            x, features, features_pos, upsampling_mask, tokens_per_scale,
+            False, k_split=k_split,
+        )
+
+    features = features_pos = upsampling_mask = None
+    tokens_per_scale = None
+    aux = ()
+    disagreements = []
+    outs = None
+    for idx in range(len(model.mask_predictors)):
+        k_split = None
+        if idx > 0 and upsampling_mask is not None:
+            n_curr = int(tokens_per_scale[-1])
+            n_old = sum(tokens_per_scale[:-1])
+            scores = np.asarray(upsampling_mask)
+            scores = scores if scores.shape[1] == n_curr else scores[:, n_old:]
+            k_split = dynamic_k_split(
+                scores, n_curr, threshold, cap_ratio, buckets
+            )
+        outs, features, features_pos, upsampling_mask, seg_sizes, _ = model.apply(
+            variables, idx, images, features, features_pos, upsampling_mask,
+            tokens_per_scale, k_split, method=run_stage,
+        )
+        tokens_per_scale = seg_sizes
+        disagreements.append(upsampling_mask)
+        aux = aux + tuple(outs["aux_outputs"])
+    return {
+        "pred_logits": outs["pred_logits"],
+        "pred_masks": outs["pred_masks"],
+        "aux_outputs": aux,
+        "disagreement_masks": tuple(disagreements),
+        "features_pos": features_pos,
+    }
 
 
 def build_backbone_indexed(cfg, li: int, name: str = None):

@@ -16,9 +16,13 @@ Static-shape design: tokens are kept ORDERED BY SCALE in contiguous segments
 whose lengths (``tokens_per_scale``) are compile-time constants — the
 reference's data-dependent ``torch.where(pos[:,:,0]==s)`` partitions become
 static slices.  The cluster reorder inside a stage is inverted afterwards so
-segments stay contiguous.  Split counts use the training-time static ratio
-``int(N * upscale_ratio)``; the reference's eval-time *dynamic* ratios
-(:700-711) are a data-dependent-shape feature deferred to a later round.
+segments stay contiguous.  Split counts default to the training-time static
+ratio ``int(N * upscale_ratio)``; the reference's eval-time *dynamic* ratios
+(mixres_neighbour.py:700-711) become BUCKETED static counts: the host
+quantizes the measured disagreement fraction to a small set of precompiled
+split sizes (``dynamic_k_split``) and passes the chosen count as the static
+``k_split`` override (``models.maskfiner.maskfiner_dynamic_eval`` drives the
+cascade stage-by-stage this way, one XLA program per bucket).
 """
 
 from __future__ import annotations
@@ -35,6 +39,30 @@ from ..geometry.cluster import space_filling_cluster
 from ..geometry.knn import knn
 from .aff import ClusterTransformerBlock, _gather_by_idx, _nbhd_from_clusters
 from .layers import Mlp, DropPath, position_embedding_sine
+
+
+def dynamic_k_split(
+    scores,
+    n_curr: int,
+    threshold: float = 0.5,
+    cap_ratio: float = 1.0,
+    buckets=(0.1, 0.25, 0.5, 0.75, 1.0),
+) -> int:
+    """Eval-time dynamic split count, bucketed to static shapes.
+
+    The reference (mixres_neighbour.py:700-711) computes
+    ``clamp(max_b(frac(importance > threshold)), 0.1, cap)`` per batch and
+    splits that data-dependent number of tokens.  Here the fraction is
+    measured on host from the concrete scores and rounded UP to the nearest
+    bucket, so each bucket is one precompiled XLA program.
+
+    scores: (b, n_curr) concrete array (host/numpy).  Returns a python int.
+    """
+    frac = float(np.max(np.mean(np.asarray(scores) > threshold, axis=-1)))
+    frac = min(max(frac, 0.1), cap_ratio)
+    ratio = next((r for r in sorted(buckets) if r >= frac), sorted(buckets)[-1])
+    ratio = min(ratio, cap_ratio)
+    return max(1, int(n_curr * ratio))
 
 
 def get_2dpos_of_curr_ps_in_min_ps(height, width, patch_size, min_patch_size, scale):
@@ -182,7 +210,9 @@ class MixResViT(nn.Module):
 
     @nn.compact
     def __call__(self, im, features, features_pos, upsampling_mask,
-                 tokens_per_scale, train: bool = False):
+                 tokens_per_scale, train: bool = False,
+                 k_split: Optional[int] = None):
+        # k_split accepted for stage-interface uniformity; stage 0 never splits
         b, H, W, _ = im.shape
         ps = self.patch_size
         patched = (H // ps, W // ps)
@@ -380,7 +410,8 @@ class MixResNeighbour(nn.Module):
 
     @nn.compact
     def __call__(self, im, features, features_pos, upsampling_mask,
-                 tokens_per_scale, train: bool = False):
+                 tokens_per_scale, train: bool = False,
+                 k_split: Optional[int] = None):
         b, H, W, _ = im.shape
         ps = self.patch_sizes[self.scale]
         min_patched = (H // self.min_patch_size, W // self.min_patch_size)
@@ -412,7 +443,9 @@ class MixResNeighbour(nn.Module):
             else:
                 mask_curr = upsampling_mask[:, n_old:]
 
-            k_split = max(1, int(n_curr * self.upscale_ratio))
+            if k_split is None:
+                k_split = max(1, int(n_curr * self.upscale_ratio))
+            k_split = min(k_split, n_curr)
             tok_split, pos_split, tok_keep, pos_keep = self._split_tokens(
                 feat_curr, pos_curr, mask_curr, k_split
             )

@@ -5,6 +5,11 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 The reference publishes no throughput number (BASELINE.json "published": {}),
 so vs_baseline is reported against the first recorded value of this bench
 (1.0 when no prior record exists).
+
+BENCH_FULL=1 additionally benchmarks AFF-Small inference (the north-star
+config, README.md:55) and the AFF-Mini training step, and writes all
+results — with achieved TFLOP/s derived from the reference's published
+GFLOPs/img (BASELINE.md: Mini 48.3G, Small 87G) — to BENCH_DETAILS.json.
 """
 
 from __future__ import annotations
@@ -14,6 +19,136 @@ import os
 import time
 
 import numpy as np
+
+GFLOPS_PER_IMG = {"aff_mini": 48.3, "aff_small": 87.0}
+
+
+def _bench_infer(cfg, batch, iters, warmup, size=512):
+    import jax
+    import jax.numpy as jnp
+
+    from autofocusformermod_tpu.models import (
+        maskformer_from_config,
+        semantic_inference,
+        upsample_masks,
+    )
+
+    model = maskformer_from_config(cfg)
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 255, (batch, size, size, 3)),
+        jnp.float32,
+    )
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x[:1], train=False))()
+
+    @jax.jit
+    def infer(variables, x, salt):
+        out = model.apply(variables, x + salt, train=False)
+        masks = upsample_masks(out["pred_masks"], (size, size))
+        sem = jax.vmap(semantic_inference)(out["pred_logits"], masks)
+        pred = jnp.argmax(sem, axis=1).astype(jnp.int32)
+        return pred, jnp.mean(sem) * 1e-6
+
+    def run(n):
+        salt = jnp.zeros((), jnp.float32)
+        for _ in range(n):
+            _, salt = infer(variables, x, salt)
+        return float(salt)
+
+    run(warmup)
+    t0 = time.perf_counter()
+    run(iters)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def _bench_train_step(cfg, batch, iters, warmup, size=512):
+    """One full training step (forward, matcher, criterion, grads, AdamW)."""
+    import jax
+    import jax.numpy as jnp
+
+    from autofocusformermod_tpu.engine.optimizer import build_optimizer
+    from autofocusformermod_tpu.models import maskformer_from_config
+    from autofocusformermod_tpu.parallel import TrainState, make_train_step
+
+    model = maskformer_from_config(cfg)
+    rng = np.random.default_rng(0)
+    t = 8
+    data = {
+        "image": jnp.asarray(rng.uniform(0, 255, (batch, size, size, 3)), jnp.float32),
+        "labels": jnp.asarray(
+            rng.integers(0, cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES, (batch, t)), jnp.int32
+        ),
+        "masks": jnp.asarray(rng.integers(0, 2, (batch, t, size, size)), jnp.float32),
+        "valid": jnp.ones((batch, t), bool),
+    }
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), data["image"][:1], train=False)
+    )()
+    tx = build_optimizer(cfg, variables["params"])
+    state = TrainState.create(variables["params"], variables.get("batch_stats", {}), tx)
+    step_fn = make_train_step(
+        model, cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES, num_points=12544, donate=False
+    )
+
+    def run(n, state):
+        loss = None
+        for i in range(n):
+            state, metrics = step_fn(state, data, jax.random.PRNGKey(i))
+            loss = metrics["total_loss"]
+        float(loss)
+        return state
+
+    state = run(warmup, state)
+    t0 = time.perf_counter()
+    run(iters, state)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def _full_details(primary_ips, batch, iters, warmup):
+    import jax
+
+    from __graft_entry__ import _flagship_cfg
+
+    details = {
+        "device": str(jax.devices()[0]),
+        "aff_mini_infer_512": {
+            "images_per_sec_chip": round(primary_ips, 3),
+            "achieved_tflops": round(primary_ips * GFLOPS_PER_IMG["aff_mini"] / 1e3, 3),
+        },
+    }
+
+    path = os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json")
+
+    def flush():
+        json.dump(details, open(path, "w"), indent=1)
+
+    flush()
+    try:
+        small = _flagship_cfg()
+        small.MODEL.AFF.EMBED_DIM = [96, 192, 384, 768]
+        small.MODEL.AFF.DEPTHS = [3, 4, 18, 2]
+        small.MODEL.AFF.NUM_HEADS = [3, 6, 12, 24]
+        small.MODEL.AFF.MLP_RATIO = 3.0
+        small.MODEL.AFF.LAYER_SCALE = 1e-5
+        ips_small = _bench_infer(small, batch, max(iters // 2, 3), warmup)
+        details["aff_small_infer_512"] = {
+            "images_per_sec_chip": round(ips_small, 3),
+            "achieved_tflops": round(ips_small * GFLOPS_PER_IMG["aff_small"] / 1e3, 3),
+        }
+    except Exception as e:  # record instead of killing the primary metric
+        details["aff_small_infer_512"] = {"error": str(e)[:200]}
+    flush()
+    try:
+        # batch 2: the full training step (fwd + matcher + criterion over
+        # 12544 points + backward of every gather) OOMs HBM at batch 4
+        train_ips = _bench_train_step(_flagship_cfg(), min(batch, 2),
+                                      max(iters // 2, 3), warmup)
+        details["aff_mini_train_512"] = {"images_per_sec_chip": round(train_ips, 3)}
+    except Exception as e:
+        details["aff_mini_train_512"] = {"error": str(e)[:200]}
+    flush()
+    return details
 
 
 def main():
@@ -76,6 +211,9 @@ def main():
             json.dump({"value": ips}, open(prior_path, "w"))
     except Exception:
         pass
+
+    if os.environ.get("BENCH_FULL"):
+        _full_details(ips, batch, iters, warmup)
 
     print(
         json.dumps(

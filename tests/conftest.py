@@ -40,7 +40,7 @@ def pytest_collection_modifyitems(config, items):
         "test_maskformer", "test_maskfiner", "test_mrml", "test_oracle",
         "test_updown", "test_train_step", "test_aff", "test_msdetrpc_pallas",
         "test_convert_checkpoint", "test_reference_parity", "test_pallas",
-        "test_baseline_backbones", "test_demo_async",
+        "test_baseline_backbones", "test_demo_async", "test_syncbn",
     }
     for item in items:
         if item.module.__name__.rsplit(".", 1)[-1] in slow_modules:

@@ -137,3 +137,109 @@ def test_panoptic_union_ignores_crowd_discount():
     ev.process(pred, [{"id": 7, "category_id": 0, "isthing": True}], gt, gt_info)
     # IoU = 16 / (16 + 32 - 16) = 0.5, not > 0.5 -> no TP
     assert ev.tp.sum() == 0
+
+
+def test_semseg_artifact_dumps(tmp_path):
+    """SemSegEvaluatorSave-style dumps (ref semseg_evaluation.py:10-49):
+    colorized prediction PNG, raw npy, red error map, extras as gray PNGs."""
+    import numpy as np
+    from autofocusformermod_tpu.evaluation.sem_seg_evaluation import (
+        MaskFinerSemSegEvaluator,
+    )
+
+    ev = MaskFinerSemSegEvaluator(
+        3, output_dir=str(tmp_path), save_predictions=True
+    )
+    pred = np.array([[0, 1], [2, 2]])
+    gt = np.array([[0, 1], [255, 0]])
+    ev.process(pred, gt, "img_007.jpg",
+               extras={"disagreement_mask_1": np.full((2, 2), 128.0)})
+    out = tmp_path / "inference_output"
+    assert (out / "img_007_sem_seg.png").exists()
+    assert (out / "img_007_error.png").exists()
+    assert (out / "img_007_disagreement_mask_1.png").exists()
+    raw = np.load(out / "img_007_sem_seg_raw.npy")
+    np.testing.assert_array_equal(raw, pred)
+    from PIL import Image
+
+    err = np.asarray(Image.open(out / "img_007_error.png"))
+    # pred!=gt only at (1,1); (1,0) is ignore -> black
+    assert err[1, 1, 0] == 255 and err[1, 0, 0] == 0 and err[0, 0, 0] == 0
+    # the confusion matrix must be unaffected by saving
+    r = ev.evaluate()
+    assert 0 <= r["mIoU"] <= 100
+
+
+def test_metaloss_evaluator_renames_extras(tmp_path):
+    import numpy as np
+    from autofocusformermod_tpu.evaluation.sem_seg_evaluation import (
+        MetaLossSemSegEvaluator,
+    )
+
+    ev = MetaLossSemSegEvaluator(2, output_dir=str(tmp_path), save_predictions=True)
+    ev.process(np.zeros((2, 2), int), np.zeros((2, 2), int), "a.png",
+               extras={"meta_loss_candidates_scale_2": np.ones((2, 2)) * 9})
+    assert (tmp_path / "inference_output" / "a_meta_loss_scale_2.png").exists()
+
+
+def test_instance_coco_json(tmp_path):
+    import json
+    import numpy as np
+    from autofocusformermod_tpu.evaluation.instance_evaluation import (
+        InstanceSegEvaluator,
+    )
+
+    ev = InstanceSegEvaluator(
+        2, output_dir=str(tmp_path), contiguous_id_to_dataset_id={0: 17, 1: 42}
+    )
+    m = np.zeros((4, 4), bool)
+    m[:2] = True
+    ev.process(3, m[None], np.array([1]), np.array([0.9]), m[None], np.array([1]))
+    path = ev.save_coco_results()
+    recs = json.load(open(path))
+    assert recs[0]["image_id"] == 3
+    assert recs[0]["category_id"] == 42
+    assert recs[0]["segmentation"]["size"] == [4, 4]
+    # RLE decodes back to the mask
+    from autofocusformermod_tpu.data.mapper_panoptic_instance import rle_decode
+
+    back = rle_decode({"size": (4, 4), "counts": recs[0]["segmentation"]["counts"]})
+    np.testing.assert_array_equal(back.astype(bool), m)
+
+
+def test_merge_across_processes_single_is_noop():
+    import numpy as np
+    from autofocusformermod_tpu.evaluation import SemSegEvaluator
+    from autofocusformermod_tpu.evaluation.distributed import (
+        merge_across_processes,
+    )
+
+    ev = SemSegEvaluator(2)
+    ev.process(np.zeros((2, 2), int), np.zeros((2, 2), int))
+    conf = ev._conf.copy()
+    merge_across_processes(ev)
+    np.testing.assert_array_equal(ev._conf, conf)
+
+
+def test_eval_loader_lazy_and_ordered():
+    import threading
+    import time as _time
+    from autofocusformermod_tpu.data.loader import eval_loader
+
+    in_flight = []
+    lock = threading.Lock()
+
+    def mapper(d):
+        with lock:
+            in_flight.append(d["i"])
+        _time.sleep(0.01)
+        return d
+
+    dataset = [{"i": i} for i in range(100)]
+    it = eval_loader(dataset, mapper, num_workers=4)
+    first = next(it)
+    assert first["i"] == 0
+    # bounded window: far fewer than the whole dataset mapped so far
+    assert len(in_flight) <= 2 * 4 + 4 + 1
+    rest = [s["i"] for s in it]
+    assert rest == list(range(1, 100))

@@ -373,3 +373,54 @@ def test_cat_features_decoder_forward():
     assert out["pred_logits"].shape == (b, 4, 6)
     assert np.isfinite(np.asarray(out["pred_logits"])).all()
     assert disagreement is not None
+
+
+def test_dynamic_eval_matches_static_when_bucket_equal(cascade_out):
+    """maskfiner_dynamic_eval with a single bucket equal to the static
+    upscale ratio must reproduce the monolithic forward exactly (same
+    k_split -> same shapes -> same numbers)."""
+    cfg, model, variables, x, out = cascade_out
+    from autofocusformermod_tpu.models.maskfiner import maskfiner_dynamic_eval
+
+    dyn = maskfiner_dynamic_eval(
+        model, variables, x, threshold=1e9,  # frac=0 -> floor -> bucket 0.25
+        cap_ratio=0.25, buckets=(0.25,),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["pred_logits"]), np.asarray(dyn["pred_logits"]),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["pred_masks"]), np.asarray(dyn["pred_masks"]),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_dynamic_eval_larger_bucket_changes_token_count(cascade_out):
+    """With a low threshold the measured disagreement fraction exceeds the
+    static ratio and a bigger bucket kicks in: more tokens get split, and
+    the output structure stays valid."""
+    cfg, model, variables, x, out = cascade_out
+    from autofocusformermod_tpu.models.maskfiner import maskfiner_dynamic_eval
+
+    dyn = maskfiner_dynamic_eval(
+        model, variables, x, threshold=-1e9,  # frac=1 -> top bucket
+        cap_ratio=1.0, buckets=(0.25, 1.0),
+    )
+    assert dyn["pred_logits"].shape == out["pred_logits"].shape
+    assert np.isfinite(np.asarray(dyn["pred_masks"])).all()
+    # more split tokens -> more final-stage positions than the static path
+    assert dyn["features_pos"].shape[1] > out["features_pos"].shape[1]
+
+
+def test_dynamic_k_split_buckets():
+    from autofocusformermod_tpu.models.mixres import dynamic_k_split
+
+    scores = np.zeros((2, 100))
+    scores[0, :37] = 1.0  # frac 0.37 (batch max) -> bucket 0.5
+    assert dynamic_k_split(scores, 100, threshold=0.5) == 50
+    # floor at 0.1 -> smallest bucket covering 0.1
+    assert dynamic_k_split(np.zeros((1, 100)), 100, threshold=0.5) == 10
+    # cap
+    assert dynamic_k_split(np.ones((1, 100)), 100, threshold=0.5,
+                           cap_ratio=0.25) == 25
