@@ -255,6 +255,110 @@ def _install_stubs():
     return clusten
 
 
+def _install_loss_stubs():
+    """Stubs + real torch implementations needed by the reference
+    criterion.py / matcher.py: detectron2.utils.comm, point_rend's
+    point_features (actual grid_sample-based code), and utils.misc."""
+    import torch
+    import torch.nn.functional as F
+
+    comm = types.ModuleType("detectron2.utils.comm")
+    comm.get_world_size = lambda: 1
+    sys.modules.setdefault("detectron2.utils.comm", comm)
+    if "detectron2.utils" in sys.modules:
+        sys.modules["detectron2.utils"].comm = comm
+
+    pr = types.ModuleType("detectron2.projects")
+    prr = types.ModuleType("detectron2.projects.point_rend")
+    pf = types.ModuleType("detectron2.projects.point_rend.point_features")
+
+    def point_sample(input, point_coords, **kwargs):
+        add_dim = False
+        if point_coords.dim() == 3:
+            add_dim = True
+            point_coords = point_coords.unsqueeze(2)
+        output = F.grid_sample(input, 2.0 * point_coords - 1.0, **kwargs)
+        if add_dim:
+            output = output.squeeze(3)
+        return output
+
+    def get_uncertain_point_coords_with_randomness(
+        coarse_logits, uncertainty_func, num_points, oversample_ratio,
+        importance_sample_ratio,
+    ):
+        num_boxes = coarse_logits.shape[0]
+        num_sampled = int(num_points * oversample_ratio)
+        point_coords = torch.rand(num_boxes, num_sampled, 2)
+        point_logits = point_sample(coarse_logits, point_coords, align_corners=False)
+        point_uncertainties = uncertainty_func(point_logits)
+        num_uncertain = int(importance_sample_ratio * num_points)
+        num_random = num_points - num_uncertain
+        idx = torch.topk(point_uncertainties[:, 0, :], k=num_uncertain, dim=1)[1]
+        shift = num_sampled * torch.arange(num_boxes, dtype=torch.long)
+        idx = idx + shift[:, None]
+        point_coords = point_coords.view(-1, 2)[idx.view(-1), :].view(
+            num_boxes, num_uncertain, 2
+        )
+        if num_random > 0:
+            point_coords = torch.cat(
+                [point_coords, torch.rand(num_boxes, num_random, 2)], dim=1
+            )
+        return point_coords
+
+    pf.point_sample = point_sample
+    pf.get_uncertain_point_coords_with_randomness = (
+        get_uncertain_point_coords_with_randomness
+    )
+    prr.point_features = pf
+    pr.point_rend = prr
+    sys.modules.setdefault("detectron2.projects", pr)
+    sys.modules.setdefault("detectron2.projects.point_rend", prr)
+    sys.modules.setdefault("detectron2.projects.point_rend.point_features", pf)
+
+    misc = types.ModuleType("refmask.utils.misc")
+    misc.is_dist_avail_and_initialized = lambda: False
+
+    class _NT:
+        def __init__(self, t, m):
+            self.tensors, self.mask = t, m
+
+        def decompose(self):
+            return self.tensors, self.mask
+
+    def nested_tensor_from_tensor_list(tensor_list):
+        t = torch.stack(list(tensor_list))
+        m = torch.zeros((t.shape[0],) + tuple(t.shape[2:]), dtype=torch.bool)
+        return _NT(t, m)
+
+    misc.nested_tensor_from_tensor_list = nested_tensor_from_tensor_list
+    utils_pkg = types.ModuleType("refmask.utils")
+    utils_pkg.__path__ = []
+    sys.modules.setdefault("refmask.utils", utils_pkg)
+    sys.modules["refmask.utils.misc"] = misc
+
+
+def load_reference_losses():
+    """Load the real reference criterion.py + matcher.py on CPU."""
+    _install_stubs()
+    _install_loss_stubs()
+    for name in ["refmask", "refmask.modeling"]:
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            m.__path__ = []
+            sys.modules[name] = m
+    matcher = _load(
+        "mask2former/modeling/matcher.py",
+        "refmask.modeling.matcher",
+        "refmask.modeling",
+    )
+    criterion = _load(
+        "mask2former/modeling/criterion.py",
+        "refmask.modeling.criterion",
+        "refmask.modeling",
+    )
+    return {"matcher": matcher, "criterion": criterion}
+
+
 def force_stable_sort():
     """Make torch.Tensor.sort stable process-wide.
 

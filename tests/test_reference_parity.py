@@ -24,6 +24,7 @@ from autofocusformermod_tpu.engine.convert_checkpoint import (  # noqa: E402
 )
 from tests.reference_models import (  # noqa: E402
     force_stable_sort,
+    load_reference_losses,
     load_reference_modules,
 )
 
@@ -363,3 +364,112 @@ def test_transformer_decoder_parity():
         assert r.shape == m.shape, (name, r.shape, m.shape)
         errs[name] = np.abs(r - m).max() / (np.abs(r).max() + 1e-8)
     assert max(errs.values()) < 2e-3, f"decoder rel errs: {errs}"
+
+
+# --------------------------------------------------------------------------
+# criterion + matcher loss-value parity (reference criterion.py / matcher.py)
+# --------------------------------------------------------------------------
+
+def test_criterion_loss_values_match_reference():
+    """Pin SetCriterion outputs against the real reference criterion.
+
+    Point-sampled losses are randomized; spatially-CONSTANT masks make every
+    sampled point equivalent, so the losses are deterministic and comparable
+    across frameworks — provided samples stay INTERIOR: grid_sample's
+    zero-padding attenuates constant maps within half a pixel of the border,
+    so both frameworks' random coords are squeezed into [0.25, 0.75].
+    Matching ambiguity is avoided by distinct labels and mixed
+    all-ones/all-zeros target masks (unique LSAP optimum w.h.p.)."""
+    mods = load_reference_losses()
+    torch.manual_seed(0)
+
+    b, q, t, nc, hw = 2, 6, 3, 5, 16
+    rng = np.random.default_rng(7)
+    logits = rng.standard_normal((b, q, nc + 1)).astype(np.float32)
+    # constant-per-mask prediction logits, broadcast over space
+    mask_const = rng.standard_normal((b, q, 1, 1)).astype(np.float32)
+    pred_masks = np.broadcast_to(mask_const, (b, q, hw, hw)).copy()
+    labels = rng.integers(0, nc, (b, t))
+    gt_const = np.array([[1, 0, 1], [0, 1, 1]], np.float32)  # per-target 0/1
+    gt_masks = np.broadcast_to(
+        gt_const[:, :, None, None], (b, t, hw, hw)
+    ).copy()
+
+    # ---- reference
+    matcher = mods["matcher"].HungarianMatcher(
+        cost_class=2.0, cost_mask=5.0, cost_dice=5.0, num_points=64,
+    )
+    criterion = mods["criterion"].SetCriterion(
+        nc, matcher=matcher,
+        weight_dict={"loss_ce": 2.0, "loss_mask": 5.0, "loss_dice": 5.0},
+        eos_coef=0.1, losses=["labels", "masks"],
+        num_points=64, oversample_ratio=3.0, importance_sample_ratio=0.75,
+    )
+    aux_logits = rng.standard_normal((b, q, nc + 1)).astype(np.float32)
+    aux_const = rng.standard_normal((b, q, 1, 1)).astype(np.float32)
+    aux_masks = np.broadcast_to(aux_const, (b, q, hw, hw)).copy()
+    outputs_t = {
+        "pred_logits": torch.from_numpy(logits),
+        "pred_masks": torch.from_numpy(pred_masks),
+        "aux_outputs": [{
+            "pred_logits": torch.from_numpy(aux_logits),
+            "pred_masks": torch.from_numpy(aux_masks),
+        }],
+    }
+    targets_t = [
+        {"labels": torch.from_numpy(labels[i]).long(),
+         "masks": torch.from_numpy(gt_masks[i])}
+        for i in range(b)
+    ]
+    orig_rand = torch.rand
+    torch.rand = lambda *s, **k: 0.25 + 0.5 * orig_rand(*s, **k)
+    try:
+        with torch.no_grad():
+            ref_losses = criterion(outputs_t, targets_t)
+    finally:
+        torch.rand = orig_rand
+
+    # ---- mine
+    from autofocusformermod_tpu.losses.criterion import set_criterion
+    from autofocusformermod_tpu.losses import matcher as my_matcher
+
+    my_matcher.set_matcher_backend("scipy")
+    try:
+        outputs_j = {
+            "pred_logits": jnp.asarray(logits),
+            "pred_masks": jnp.asarray(pred_masks),
+            "aux_outputs": (
+                {"pred_logits": jnp.asarray(aux_logits),
+                 "pred_masks": jnp.asarray(aux_masks)},
+            ),
+        }
+        targets_j = {
+            "labels": jnp.asarray(labels, jnp.int32),
+            "masks": jnp.asarray(gt_masks),
+            "valid": jnp.ones((b, t), bool),
+        }
+        orig_uniform = jax.random.uniform
+
+        def interior_uniform(key, shape=(), *a, **k):
+            return 0.25 + 0.5 * orig_uniform(key, shape, *a, **k)
+
+        jax.random.uniform = interior_uniform
+        try:
+            with jax.default_matmul_precision("highest"):
+                total, my_losses = set_criterion(
+                    jax.random.PRNGKey(0), outputs_j, targets_j, nc,
+                    eos_coef=0.1, class_weight=2.0, mask_weight=5.0,
+                    dice_weight=5.0, num_points=64,
+                )
+        finally:
+            jax.random.uniform = orig_uniform
+    finally:
+        my_matcher.set_matcher_backend(None)
+
+    for term in ["loss_ce", "loss_mask", "loss_dice",
+                 "loss_ce_0", "loss_mask_0", "loss_dice_0"]:
+        r = float(ref_losses[term])
+        m = float(my_losses[term])
+        assert abs(r - m) < 1e-4 * max(1.0, abs(r)), (
+            f"{term}: reference {r:.6f} vs mine {m:.6f}"
+        )
