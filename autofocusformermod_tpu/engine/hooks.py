@@ -51,12 +51,33 @@ class MetricLogger:
     """Scalar logging: stdout every ``period`` steps + optional JSONL sink
     (the EventStorage/wandb-mirror surface, train_net.py:399-402)."""
 
-    def __init__(self, output_dir: Optional[str] = None, period: int = 20):
+    def __init__(self, output_dir: Optional[str] = None, period: int = 20,
+                 tensorboard: bool = True, wandb_name: Optional[str] = None):
         self.period = period
         self.path = None
+        self._tb = None
+        self._wandb = None
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)
             self.path = os.path.join(output_dir, "metrics.jsonl")
+            if tensorboard:
+                # mirrors the reference's wandb(sync_tensorboard=True) +
+                # detectron2 EventStorage surface (train_net.py:399-402)
+                try:
+                    from torch.utils.tensorboard import SummaryWriter
+
+                    self._tb = SummaryWriter(log_dir=os.path.join(output_dir, "tb"))
+                except Exception:
+                    self._tb = None
+        if wandb_name:
+            try:
+                import wandb
+
+                self._wandb = wandb
+                wandb.init(project="CandidateNet", name=wandb_name,
+                           sync_tensorboard=self._tb is not None)
+            except Exception:
+                self._wandb = None
         self._t0 = time.perf_counter()
         self._last_step = 0
 
@@ -70,6 +91,11 @@ class MetricLogger:
         if self.path:
             with open(self.path, "a") as f:
                 f.write(json.dumps({"step": step, **scalars}) + "\n")
+        if self._tb is not None:
+            for k, v in scalars.items():
+                self._tb.add_scalar(k, v, step)
+        if self._wandb is not None:
+            self._wandb.log(scalars, step=step)
         if step % self.period == 0:
             dt = time.perf_counter() - self._t0
             steps = max(step - self._last_step, 1)

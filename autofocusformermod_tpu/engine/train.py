@@ -40,7 +40,7 @@ from .optimizer import build_optimizer
 
 
 class Trainer:
-    def __init__(self, cfg: CfgNode):
+    def __init__(self, cfg: CfgNode, wandb_name: Optional[str] = None):
         self.cfg = cfg
         register_all_builtin()
 
@@ -80,7 +80,10 @@ class Trainer:
         )
 
         self.checkpointer = Checkpointer(os.path.join(cfg.OUTPUT_DIR, "checkpoints"))
-        self.logger = MetricLogger(cfg.OUTPUT_DIR if self.is_main else None)
+        self.logger = MetricLogger(
+            cfg.OUTPUT_DIR if self.is_main else None,
+            wandb_name=wandb_name if self.is_main else None,
+        )
         self.start_step = 0
 
     def _train_crop_hw(self):

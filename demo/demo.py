@@ -24,6 +24,10 @@ def get_parser():
     parser = argparse.ArgumentParser(description="autofocusformermod_tpu demo")
     parser.add_argument("--config-file", default="", metavar="FILE")
     parser.add_argument("--input", nargs="+", help="input images or globs")
+    parser.add_argument("--webcam", action="store_true",
+                        help="take inputs from the webcam (reference --webcam)")
+    parser.add_argument("--video-input", default=None,
+                        help="path to a video file (reference --video-input)")
     parser.add_argument("--output", default="demo_out")
     parser.add_argument("--blur", action="store_true",
                         help="visualize on blurred images (reference --blur)")
@@ -204,11 +208,76 @@ class VisualizationDemo:
         overlay = self.colors[np.clip(pred, 0, self.nc - 1)]
         return (0.5 * base + 0.5 * overlay).astype(np.uint8)
 
+    def run_on_video(self, video, blur: bool = False):
+        """Frame iterator over a cv2.VideoCapture, keeping the device fed via
+        the async pipeline (reference predictor.py:75-135 run_on_video).
+        Yields visualized BGR frames in order."""
+        pred_async = AsyncPredictor(self.run_on_image)
+        pending = []
+
+        def read():
+            ok, frame = video.read()
+            return frame[:, :, ::-1] if ok else None   # BGR -> RGB
+
+        frame = read()
+        while frame is not None and len(pending) < pred_async.default_buffer_size:
+            pred_async.put(frame)
+            pending.append(frame)
+            frame = read()
+        while pending:
+            cur = pending.pop(0)
+            pred = pred_async.get()
+            if frame is not None:
+                pred_async.put(frame)
+                pending.append(frame)
+                frame = read()
+            yield self.visualize(cur, pred, blur=blur)[:, :, ::-1]
+        pred_async.shutdown()
+
+
+def _run_video(demo, args):
+    """--webcam / --video-input loops (reference demo/demo.py:155-209; no
+    interactive cv2 windows here — headless environments write files)."""
+    import cv2
+
+    if args.webcam:
+        video = cv2.VideoCapture(0)
+        writer = None
+    else:
+        assert os.path.isfile(args.video_input), args.video_input
+        video = cv2.VideoCapture(args.video_input)
+        w = int(video.get(cv2.CAP_PROP_FRAME_WIDTH))
+        h = int(video.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        fps = video.get(cv2.CAP_PROP_FPS) or 30.0
+        os.makedirs(args.output, exist_ok=True)
+        base = os.path.splitext(os.path.basename(args.video_input))[0]
+        out_path = os.path.join(args.output, base + "_vis.mp4")
+        writer = cv2.VideoWriter(
+            out_path, cv2.VideoWriter_fourcc(*"mp4v"), float(fps), (w, h), True
+        )
+        print(f"writing {out_path}")
+    n = 0
+    for frame in demo.run_on_video(video, blur=args.blur):
+        n += 1
+        if writer is not None:
+            writer.write(frame)
+        else:
+            os.makedirs(args.output, exist_ok=True)
+            cv2.imwrite(os.path.join(args.output, f"webcam_{n:06d}.png"), frame)
+    video.release()
+    if writer is not None:
+        writer.release()
+    print(f"processed {n} frames")
+
 
 def main():
     args = get_parser().parse_args()
     cfg = setup_cfg(args)
     demo = VisualizationDemo(cfg)
+
+    if args.webcam or args.video_input:
+        assert not args.input, "--input cannot combine with --webcam/--video-input"
+        return _run_video(demo, args)
 
     paths = []
     for pat in args.input or []:

@@ -141,3 +141,46 @@ def test_cityscapes_panoptic_labelid_remap(tmp_path):
     assert all(
         0 <= v <= 18 for v in CITYSCAPES_LABELID_TO_TRAINID.values()
     ) and len(CITYSCAPES_LABELID_TO_TRAINID) == 19
+
+
+def test_prepare_cocofied_lvisv1(tmp_path):
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "prep_lvisv1", "datasets/prepare_cocofied_lvisv1.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    lvis = {
+        "images": [
+            {"id": 10, "coco_url": "http://x/val2017/a.jpg",
+             "not_exhaustive_category_ids": [1, 3], "neg_category_ids": [2]},
+            {"id": 11, "coco_url": "http://x/train2017/b.jpg",
+             "not_exhaustive_category_ids": [], "neg_category_ids": []},
+        ],
+        "annotations": [
+            {"id": 100, "image_id": 10, "category_id": 1},   # person -> 1
+            {"id": 101, "image_id": 10, "category_id": 3},   # unmapped
+            {"id": 102, "image_id": 11, "category_id": 1},   # train2017 img
+        ],
+        "categories": [
+            {"id": 1, "synset": "person.n.01", "name": "person"},
+            {"id": 2, "synset": "bicycle.n.01", "name": "bicycle"},
+            {"id": 3, "synset": "aerosol.n.02", "name": "aerosol_can"},
+        ],
+    }
+    src = tmp_path / "lvis_v1_val.json"
+    json.dump(lvis, open(src, "w"))
+    dst = tmp_path / "out.json"
+    mod.cocofy_lvis_v1(src, dst)
+    out = json.load(open(dst))
+    assert len(out["images"]) == 1 and out["images"][0]["id"] == 1
+    assert out["images"][0]["file_name"] == "a.jpg"
+    assert out["images"][0]["not_exhaustive_category_ids"] == [1]  # person only
+    assert out["images"][0]["neg_category_ids"] == [2]             # bicycle
+    assert len(out["annotations"]) == 1
+    assert out["annotations"][0]["category_id"] == 1
+    assert out["annotations"][0]["image_id"] == 1
+    assert [c["id"] for c in out["categories"]] == [1]  # only cats w/ instances

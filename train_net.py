@@ -63,7 +63,7 @@ def main(args):
 
     from autofocusformermod_tpu.engine.train import Trainer
 
-    trainer = Trainer(cfg)
+    trainer = Trainer(cfg, wandb_name=args.wandb_name)
     trainer.resume_or_load(resume=args.resume)
     if args.eval_only:
         results = trainer.test()
