@@ -41,7 +41,8 @@ def polygons_to_mask(polygons: List, h: int, w: int) -> np.ndarray:
 def _pad_targets(labels, masks, image_hw, max_gt):
     t = max_gt
     out_labels = np.zeros((t,), np.int32)
-    out_masks = np.zeros((t,) + tuple(image_hw), np.float32)
+    # uint8: the jitted step casts on device (host never touches float pixels)
+    out_masks = np.zeros((t,) + tuple(image_hw), np.uint8)
     out_valid = np.zeros((t,), bool)
     for i, (l, m) in enumerate(zip(labels[:t], masks[:t])):
         out_labels[i] = l
@@ -118,7 +119,7 @@ class MaskFormerPanopticDatasetMapper:
             )
 
         out = {
-            "image": img.astype(np.float32),
+            "image": np.ascontiguousarray(img.astype(np.uint8)),
             "height": dataset_dict.get("height", orig_h),
             "width": dataset_dict.get("width", orig_w),
             "image_hw": img.shape[:2],
@@ -227,7 +228,7 @@ class MaskFormerInstanceDatasetMapper:
             img, _ = T.resize_shortest_edge(img, None, self.min_size_test, self.max_size_test)
 
         out = {
-            "image": img.astype(np.float32),
+            "image": np.ascontiguousarray(img.astype(np.uint8)),
             "height": dataset_dict.get("height", orig_h),
             "width": dataset_dict.get("width", orig_w),
             "image_hw": img.shape[:2],
@@ -266,7 +267,7 @@ class COCOInstanceLSJDatasetMapper(MaskFormerInstanceDatasetMapper):
         }
         if not self.is_train:
             img, _ = T.resize_shortest_edge(img, None, self.min_size_test, self.max_size_test)
-            return {"image": img.astype(np.float32), "image_hw": img.shape[:2], **out_meta}
+            return {"image": np.ascontiguousarray(img.astype(np.uint8)), "image_hw": img.shape[:2], **out_meta}
 
         s = self.image_size
         scale = self.rng.uniform(self.min_scale, self.max_scale)
@@ -286,7 +287,7 @@ class COCOInstanceLSJDatasetMapper(MaskFormerInstanceDatasetMapper):
             np.pad(m, ((0, s - m.shape[0]), (0, s - m.shape[1]))) for m in masks
         ]
         keep = [i for i, m in enumerate(masks) if m.sum() > 0]
-        out = {"image": img.astype(np.float32), "image_hw": (s, s), **out_meta}
+        out = {"image": np.ascontiguousarray(img.astype(np.uint8)), "image_hw": (s, s), **out_meta}
         out.update(
             _pad_targets([labels[i] for i in keep], [masks[i] for i in keep],
                          (s, s), self.max_gt)

@@ -112,8 +112,12 @@ class MaskFormerSemanticDatasetMapper:
 
         image_hw = img.shape[:2]
 
+        # north star "the host never touches float pixels": images stay uint8
+        # until the jitted step casts+normalizes on device, and binary
+        # per-class masks are DERIVED ON DEVICE from the uint8 sem_seg map
+        # (the host ships H*W bytes instead of t*H*W floats)
         out = {
-            "image": img.astype(np.float32),
+            "image": np.ascontiguousarray(img),          # uint8 HWC
             "height": dataset_dict.get("height", orig_h),
             "width": dataset_dict.get("width", orig_w),
             "image_hw": image_hw,
@@ -124,16 +128,21 @@ class MaskFormerSemanticDatasetMapper:
             out["sem_seg"] = sem_seg
             return out
 
-        # per-class binary masks, padded to max_gt (reference :166-185)
+        # per-class label list, padded to max_gt (reference :166-185); the
+        # (t, H, W) mask stack is labels[:, None, None] == sem_seg on device
         classes = np.unique(sem_seg)
         classes = classes[classes != self.ignore_label]
         t = self.max_gt
         labels = np.zeros((t,), np.int32)
-        masks = np.zeros((t,) + image_hw, np.float32)
         valid = np.zeros((t,), bool)
         for i, c in enumerate(classes[:t]):
             labels[i] = c
-            masks[i] = (sem_seg == c).astype(np.float32)
             valid[i] = True
-        out.update({"labels": labels, "masks": masks, "valid": valid})
+        out.update({
+            "labels": labels,
+            "valid": valid,
+            "sem_seg_map": sem_seg.astype(
+                np.uint8 if self.ignore_label <= 255 else np.int32
+            ),
+        })
         return out

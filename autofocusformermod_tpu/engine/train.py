@@ -196,10 +196,10 @@ class Trainer:
             batch = shard_batch(
                 self.mesh,
                 {
-                    "image": batch_np["image"],
-                    "labels": batch_np["labels"],
-                    "masks": batch_np["masks"],
-                    "valid": batch_np["valid"],
+                    k: batch_np[k]
+                    for k in ("image", "labels", "masks", "valid",
+                              "sem_seg_map", "sem_seg")
+                    if k in batch_np
                 },
             )
             key, sub = jax.random.split(key)

@@ -571,6 +571,7 @@ class MaskFiner(nn.Module):
                  k_splits=None) -> Dict:
         """k_splits: optional per-stage static split-count overrides (the
         bucketed eval-time dynamic ratios — see maskfiner_dynamic_eval)."""
+        images = images.astype(jnp.float32)  # uint8 host batches cast on device
         x = (images - jnp.asarray(self.pixel_mean, images.dtype)) / jnp.asarray(
             self.pixel_std, images.dtype
         )
@@ -618,6 +619,7 @@ def maskfiner_dynamic_eval(
 
     def run_stage(m, idx, im, features, features_pos, upsampling_mask,
                   tokens_per_scale, k_split):
+        im = im.astype(jnp.float32)
         x = (im - jnp.asarray(m.pixel_mean, im.dtype)) / jnp.asarray(
             m.pixel_std, im.dtype
         )

@@ -53,7 +53,9 @@ class MaskFormer(nn.Module):
     pixel_std: Sequence[float] = (58.395, 57.12, 57.375)
 
     def normalize(self, images: jnp.ndarray) -> jnp.ndarray:
-        """images: (b, H, W, 3) raw RGB floats -> normalized."""
+        """images: (b, H, W, 3) raw RGB (uint8 or float) -> normalized f32.
+        The cast lives on device: host batches ship uint8 (north star)."""
+        images = images.astype(jnp.float32)
         mean = jnp.asarray(self.pixel_mean, images.dtype)
         std = jnp.asarray(self.pixel_std, images.dtype)
         return (images - mean) / std

@@ -82,6 +82,7 @@ class MaskFinerOracleTeacher(nn.Module):
 
     @nn.compact
     def __call__(self, images, sem_seg_gt=None, train: bool = False) -> Dict:
+        images = images.astype(jnp.float32)  # uint8 host batches cast on device
         x = (images - jnp.asarray(self.pixel_mean, images.dtype)) / jnp.asarray(
             self.pixel_std, images.dtype
         )
@@ -164,6 +165,7 @@ class MaskFinerOracleTeacherBB(nn.Module):
 
     @nn.compact
     def __call__(self, images, sem_seg_gt=None, train: bool = False) -> Dict:
+        images = images.astype(jnp.float32)  # uint8 host batches cast on device
         x = (images - jnp.asarray(self.pixel_mean, images.dtype)) / jnp.asarray(
             self.pixel_std, images.dtype
         )

@@ -199,6 +199,7 @@ class MaskFormerML(nn.Module):
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> Dict:
+        images = images.astype(jnp.float32)  # uint8 host batches cast on device
         x = (images - jnp.asarray(self.pixel_mean, images.dtype)) / jnp.asarray(
             self.pixel_std, images.dtype
         )

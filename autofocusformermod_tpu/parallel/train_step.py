@@ -39,6 +39,25 @@ class TrainState(struct.PyTreeNode):
         )
 
 
+def _device_image(batch) -> jnp.ndarray:
+    """uint8 HWC host batches cast to float32 ON DEVICE (north star: the host
+    never touches float pixels); float inputs pass through for compatibility
+    with synthetic/test batches."""
+    return batch["image"].astype(jnp.float32)
+
+
+def _device_masks(batch) -> jnp.ndarray:
+    """Target mask stack on device.  Semantic batches ship only the uint8
+    sem_seg map + per-slot labels; the (b, t, H, W) binary stack is derived
+    here (a broadcast equality) and gated by ``valid`` so padded label slots
+    (0) cannot alias class 0.  Panoptic/instance batches ship uint8 masks."""
+    if "masks" in batch:
+        return batch["masks"].astype(jnp.float32)
+    sem = batch["sem_seg_map"].astype(jnp.int32)           # (b, H, W)
+    eq = sem[:, None] == batch["labels"][:, :, None, None]  # (b, t, H, W)
+    return (eq & batch["valid"][:, :, None, None]).astype(jnp.float32)
+
+
 def make_train_step(
     model,
     num_classes: int,
@@ -65,14 +84,14 @@ def make_train_step(
         k_drop, k_crit = jax.random.split(key)
         outputs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["image"],
+            _device_image(batch),
             train=True,
             mutable=["batch_stats"],
             rngs={"dropout": k_drop},
         )
         targets = {
             "labels": batch["labels"],
-            "masks": batch["masks"],
+            "masks": _device_masks(batch),
             "valid": batch["valid"],
         }
         total, losses = set_criterion(
@@ -89,7 +108,7 @@ def make_train_step(
             from ..models.mrml import compute_meta_loss
 
             ml = compute_meta_loss(
-                outputs, batch["labels"], batch["masks"], batch["valid"],
+                outputs, batch["labels"], _device_masks(batch), batch["valid"],
                 ml_min_patch_size,
             )
             losses["meta_loss"] = ml
@@ -143,7 +162,7 @@ def make_maskfiner_train_step(
         variables = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
-        args = (batch["image"],)
+        args = (_device_image(batch),)
         rngs = {"dropout": k_drop, "oracle": k_oracle}
         if needs_sem_seg_gt:
             args = args + (batch["sem_seg"],)
@@ -152,7 +171,7 @@ def make_maskfiner_train_step(
         )
         targets = {
             "labels": batch["labels"],
-            "masks": batch["masks"],
+            "masks": _device_masks(batch),
             "valid": batch["valid"],
         }
         total, losses = set_criterion(

@@ -76,12 +76,26 @@ def test_semantic_mapper_train_targets(synthetic_semantic_dataset):
     )
     out = mapper(synthetic_semantic_dataset[0])
     assert out["image"].shape == (256, 256, 3)
-    assert out["masks"].shape == (10, 256, 256)
+    assert out["image"].dtype == np.uint8          # host never touches floats
+    assert out["sem_seg_map"].shape == (256, 256)
     v = out["valid"]
     assert v.sum() >= 1
-    # each valid mask matches its label's pixels exactly
+    # device-side mask derivation: each valid label has pixels in the map
+    from autofocusformermod_tpu.parallel.train_step import _device_masks
+    import jax.numpy as jnp
+    masks = np.asarray(_device_masks({
+        "sem_seg_map": jnp.asarray(out["sem_seg_map"][None]),
+        "labels": jnp.asarray(out["labels"][None]),
+        "valid": jnp.asarray(v[None]),
+    }))[0]
     for i in np.nonzero(v)[0]:
-        assert out["masks"][i].sum() > 0
+        assert masks[i].sum() > 0
+        np.testing.assert_array_equal(
+            masks[i] > 0, out["sem_seg_map"] == out["labels"][i]
+        )
+    # padded slots are all-zero even when label 0 exists in the map
+    for i in np.nonzero(~v)[0]:
+        assert masks[i].sum() == 0
 
 
 def test_semantic_mapper_eval(synthetic_semantic_dataset):
@@ -101,7 +115,8 @@ def test_train_loader_batches(synthetic_semantic_dataset):
     )
     batch = next(loader)
     assert batch["image"].shape == (2, 128, 128, 3)
-    assert batch["masks"].shape == (2, 5, 128, 128)
+    assert batch["image"].dtype == np.uint8
+    assert batch["sem_seg_map"].shape == (2, 128, 128)
     assert batch["valid"].dtype == bool
     loader.close()
 
