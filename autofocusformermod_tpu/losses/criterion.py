@@ -22,7 +22,12 @@ from typing import Dict, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from .matcher import matching_cost, solve_lsap
+from .matcher import (
+    matching_cost,
+    matching_cost_downsample,
+    max_pool_to,
+    solve_lsap,
+)
 from .point_sample import (
     get_uncertain_point_coords_with_randomness,
     point_sample,
@@ -155,6 +160,83 @@ def set_criterion(
         l_mask, l_dice = _loss_masks(
             k_pts, out["pred_masks"], tgt_masks, tgt_valid, matched, num_masks,
             num_points, oversample_ratio, importance_sample_ratio,
+        )
+        suffix = "" if i == 0 else f"_{i - 1}"
+        losses[f"loss_ce{suffix}"] = l_ce
+        losses[f"loss_mask{suffix}"] = l_mask
+        losses[f"loss_dice{suffix}"] = l_dice
+        total = total + class_weight * l_ce + mask_weight * l_mask + dice_weight * l_dice
+    return total, losses
+
+
+def _loss_masks_downsample(pred_masks, tgt_masks, tgt_valid, matched, num_masks):
+    """Dense sigmoid-CE + dice on max-pooled targets — the
+    SetCriterionDownSample mask loss (criterion_downsampled.py:134-181)."""
+    b, q, h, w = pred_masks.shape
+    t = matched.shape[1]
+    src = jnp.take_along_axis(pred_masks, matched[:, :, None, None], axis=1)
+    tgt_small = max_pool_to(tgt_masks.astype(src.dtype), (h, w))
+    src_flat = src.reshape(b * t, h * w)
+    tgt_flat = tgt_small.reshape(b * t, h * w)
+    vf = tgt_valid.reshape(b * t).astype(src_flat.dtype)
+    lm = sigmoid_ce_loss(src_flat, tgt_flat)
+    ld = dice_loss(src_flat, tgt_flat)
+    return jnp.sum(lm * vf) / num_masks, jnp.sum(ld * vf) / num_masks
+
+
+def set_criterion_downsample(
+    key: jax.Array,
+    outputs: Dict,
+    targets: Dict,
+    num_classes: int,
+    *,
+    eos_coef: float = 0.1,
+    class_weight: float = 2.0,
+    mask_weight: float = 5.0,
+    dice_weight: float = 5.0,
+    **_unused,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """SetCriterionDownSample + HungarianMatcherDownSample
+    (criterion_downsampled.py:84-246, matcher_downsampled.py:71-185): no
+    PointRend sampling anywhere — GT masks are max-pooled to the prediction
+    resolution and both the assignment costs and mask losses run dense over
+    all prediction pixels.  ``key`` is accepted for API symmetry with
+    set_criterion and unused (the variant is fully deterministic)."""
+    del key
+    tgt_labels = targets["labels"]
+    tgt_masks = targets["masks"]
+    tgt_valid = targets["valid"]
+    b, t = tgt_labels.shape
+
+    num_masks = jnp.maximum(jnp.sum(tgt_valid.astype(jnp.float32)), 1.0)
+    all_outputs = [outputs] + list(outputs.get("aux_outputs", ()))
+
+    losses: Dict[str, jnp.ndarray] = {}
+    total = 0.0
+    costs = [
+        matching_cost_downsample(
+            out["pred_logits"], out["pred_masks"], tgt_labels, tgt_masks,
+            tgt_valid, cost_class=class_weight, cost_mask=mask_weight,
+            cost_dice=dice_weight,
+        )
+        for out in all_outputs
+    ]
+    matched_all = [None] * len(all_outputs)
+    by_shape: Dict[Tuple, list] = {}
+    for i, c in enumerate(costs):
+        by_shape.setdefault(c.shape, []).append(i)
+    for idxs in by_shape.values():
+        sol = solve_lsap(jnp.concatenate([costs[i] for i in idxs], axis=0))
+        for k, i in enumerate(idxs):
+            matched_all[i] = sol[k * b : (k + 1) * b]
+
+    for i, out in enumerate(all_outputs):
+        matched = matched_all[i]
+        l_ce = _loss_labels(
+            out["pred_logits"], tgt_labels, tgt_valid, matched, num_classes, eos_coef
+        )
+        l_mask, l_dice = _loss_masks_downsample(
+            out["pred_masks"], tgt_masks, tgt_valid, matched, num_masks
         )
         suffix = "" if i == 0 else f"_{i - 1}"
         losses[f"loss_ce{suffix}"] = l_ce

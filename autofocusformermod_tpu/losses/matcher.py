@@ -128,6 +128,54 @@ def matching_cost(
     )  # (b, q, t)
 
 
+def max_pool_to(masks: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """(b, t, H, W) -> (b, t, h, w) via kernel (H//h, W//w) max pooling
+    (reference matcher_downsampled.py:128-130 / criterion_downsampled.py:163).
+    Requires H % h == 0 and W % w == 0 (the reference's int division does the
+    same implicitly)."""
+    H, W = masks.shape[-2:]
+    h, w = out_hw
+    kh, kw = H // h, W // w
+    if kh == 1 and kw == 1:
+        return masks
+    return jax.lax.reduce_window(
+        masks, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 1, kh, kw), window_strides=(1, 1, kh, kw),
+        padding="VALID",
+    )
+
+
+def matching_cost_downsample(
+    pred_logits: jnp.ndarray,
+    pred_masks: jnp.ndarray,
+    tgt_labels: jnp.ndarray,
+    tgt_masks: jnp.ndarray,
+    tgt_valid: jnp.ndarray,
+    cost_class: float,
+    cost_mask: float,
+    cost_dice: float,
+) -> jnp.ndarray:
+    """HungarianMatcherDownSample cost (matcher_downsampled.py:97-162): no
+    point sampling — targets are max-pooled to the prediction resolution and
+    the mask/dice costs run DENSE over all h*w prediction pixels."""
+    h, w = pred_masks.shape[-2:]
+    tgt_small = max_pool_to(tgt_masks, (h, w))
+
+    def per_image(logits, masks, labels, gt_small, valid):
+        out_prob = jax.nn.softmax(logits, axis=-1)
+        cc = -out_prob[:, labels]
+        out_flat = masks.reshape(masks.shape[0], -1)
+        tgt_flat = gt_small.reshape(gt_small.shape[0], -1)
+        cm = batch_sigmoid_ce_cost(out_flat, tgt_flat)
+        cd = batch_dice_cost(out_flat, tgt_flat)
+        cost = cost_mask * cm + cost_class * cc + cost_dice * cd
+        return jnp.where(valid[None, :], cost, _INVALID_COST)
+
+    return jax.vmap(per_image)(
+        pred_logits, pred_masks, tgt_labels, tgt_small, tgt_valid
+    )
+
+
 def solve_lsap(cost: jnp.ndarray) -> jnp.ndarray:
     """Solve the batched assignment. cost: (b, q, t) -> (b, t) int32 matched
     query per target slot.  Batch the deep-supervision layers into ``b``

@@ -356,7 +356,22 @@ def load_reference_losses():
         "refmask.modeling.criterion",
         "refmask.modeling",
     )
-    return {"matcher": matcher, "criterion": criterion}
+    matcher_ds = _load(
+        "mask2former/modeling/matcher_downsampled.py",
+        "refmask.modeling.matcher_downsampled",
+        "refmask.modeling",
+    )
+    criterion_ds = _load(
+        "mask2former/modeling/criterion_downsampled.py",
+        "refmask.modeling.criterion_downsampled",
+        "refmask.modeling",
+    )
+    return {
+        "matcher": matcher,
+        "criterion": criterion,
+        "matcher_downsampled": matcher_ds,
+        "criterion_downsampled": criterion_ds,
+    }
 
 
 def force_stable_sort():

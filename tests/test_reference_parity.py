@@ -473,3 +473,64 @@ def test_criterion_loss_values_match_reference():
         assert abs(r - m) < 1e-4 * max(1.0, abs(r)), (
             f"{term}: reference {r:.6f} vs mine {m:.6f}"
         )
+
+
+def test_criterion_downsample_matches_reference():
+    """SetCriterionDownSample / HungarianMatcherDownSample are fully
+    deterministic (no point sampling), so arbitrary masks pin exactly."""
+    mods = load_reference_losses()
+
+    b, q, t, nc = 2, 6, 3, 5
+    h, w = 8, 8          # prediction resolution
+    H, W = 32, 32        # target resolution (4x pooling)
+    rng = np.random.default_rng(11)
+    logits = rng.standard_normal((b, q, nc + 1)).astype(np.float32)
+    pred_masks = rng.standard_normal((b, q, h, w)).astype(np.float32)
+    labels = rng.integers(0, nc, (b, t))
+    gt_masks = (rng.random((b, t, H, W)) > 0.6).astype(np.float32)
+
+    matcher = mods["matcher_downsampled"].HungarianMatcherDownSample(
+        cost_class=2.0, cost_mask=5.0, cost_dice=5.0, num_points=0,
+    )
+    criterion = mods["criterion_downsampled"].SetCriterionDownSample(
+        nc, matcher=matcher,
+        weight_dict={"loss_ce": 2.0, "loss_mask": 5.0, "loss_dice": 5.0},
+        eos_coef=0.1, losses=["labels", "masks"],
+        num_points=0, oversample_ratio=3.0, importance_sample_ratio=0.75,
+    )
+    outputs_t = {
+        "pred_logits": torch.from_numpy(logits),
+        "pred_masks": torch.from_numpy(pred_masks),
+    }
+    targets_t = [
+        {"labels": torch.from_numpy(labels[i]).long(),
+         "masks": torch.from_numpy(gt_masks[i])}
+        for i in range(b)
+    ]
+    with torch.no_grad():
+        ref_losses = criterion(outputs_t, targets_t)
+
+    from autofocusformermod_tpu.losses.criterion import set_criterion_downsample
+    from autofocusformermod_tpu.losses import matcher as my_matcher
+
+    my_matcher.set_matcher_backend("scipy")
+    try:
+        with jax.default_matmul_precision("highest"):
+            total, my_losses = set_criterion_downsample(
+                jax.random.PRNGKey(0),
+                {"pred_logits": jnp.asarray(logits),
+                 "pred_masks": jnp.asarray(pred_masks)},
+                {"labels": jnp.asarray(labels, jnp.int32),
+                 "masks": jnp.asarray(gt_masks),
+                 "valid": jnp.ones((b, t), bool)},
+                nc, eos_coef=0.1, class_weight=2.0, mask_weight=5.0,
+                dice_weight=5.0,
+            )
+    finally:
+        my_matcher.set_matcher_backend(None)
+
+    for term in ["loss_ce", "loss_mask", "loss_dice"]:
+        r, m = float(ref_losses[term]), float(my_losses[term])
+        assert abs(r - m) < 1e-4 * max(1.0, abs(r)), (
+            f"{term}: reference {r:.6f} vs mine {m:.6f}"
+        )
