@@ -29,9 +29,27 @@ from .matcher import (
     solve_lsap,
 )
 from .point_sample import (
+    get_uncertain_point_coords_nn_ranked,
     get_uncertain_point_coords_with_randomness,
     point_sample,
 )
+
+# Rank oversampled candidates with a 1-tap nearest-cell read instead of the
+# 4-tap bilinear (selection heuristic only — supervision stays continuous;
+# see point_sample.get_uncertain_point_coords_nn_ranked).  Module-level
+# switch so tests can pin the reference's exact sampler.
+NN_RANK_UNCERTAINTY = True
+
+
+def _uncertain_coords(key, src_flat, num_points, oversample_ratio,
+                      importance_sample_ratio):
+    fn = (
+        get_uncertain_point_coords_nn_ranked
+        if NN_RANK_UNCERTAINTY
+        else get_uncertain_point_coords_with_randomness
+    )
+    return fn(key, src_flat, num_points, oversample_ratio,
+              importance_sample_ratio)
 
 
 def dice_loss(inputs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
@@ -62,9 +80,31 @@ def _loss_labels(pred_logits, tgt_labels, tgt_valid, matched, num_classes, eos_c
     return jnp.sum(weight * nll) / jnp.sum(weight)
 
 
+def _loss_masks_stacked(key, src_flat, tgt_flat, num_points,
+                        oversample_ratio, importance_sample_ratio):
+    """Point-sampled sigmoid-CE + dice per mask (criterion.py:138-193).
+
+    src_flat: (N, h, w) matched prediction logits; tgt_flat: (N, H, W).
+    Returns ((N,) mask loss, (N,) dice loss) — callers sum/normalize.
+    N stacks ALL deep-supervision layers: one big uncertainty sampling +
+    two point_sample calls instead of 10 small ones (the small-batch
+    launches dominated the criterion at ~290 ms of 390 per step)."""
+    coords = jax.lax.stop_gradient(
+        _uncertain_coords(
+            key, jax.lax.stop_gradient(src_flat), num_points,
+            oversample_ratio, importance_sample_ratio,
+        )
+    )
+    point_labels = point_sample(tgt_flat, coords)
+    point_logits = point_sample(src_flat, coords)
+    return sigmoid_ce_loss(point_logits, point_labels), dice_loss(
+        point_logits, point_labels
+    )
+
+
 def _loss_masks(key, pred_masks, tgt_masks, tgt_valid, matched, num_masks,
                 num_points, oversample_ratio, importance_sample_ratio):
-    """Point-sampled sigmoid-CE + dice (criterion.py:138-193)."""
+    """Single-layer wrapper around _loss_masks_stacked."""
     b, q, h, w = pred_masks.shape
     t = matched.shape[1]
     src = jnp.take_along_axis(
@@ -73,20 +113,11 @@ def _loss_masks(key, pred_masks, tgt_masks, tgt_valid, matched, num_masks,
     src_flat = src.reshape(b * t, h, w)
     H, W = tgt_masks.shape[-2:]
     tgt_flat = tgt_masks.reshape(b * t, H, W).astype(src_flat.dtype)
-    valid_flat = tgt_valid.reshape(b * t)
-
-    coords = jax.lax.stop_gradient(
-        get_uncertain_point_coords_with_randomness(
-            key, jax.lax.stop_gradient(src_flat), num_points,
-            oversample_ratio, importance_sample_ratio,
-        )
+    lm, ld = _loss_masks_stacked(
+        key, src_flat, tgt_flat, num_points, oversample_ratio,
+        importance_sample_ratio,
     )
-    point_labels = point_sample(tgt_flat, coords)
-    point_logits = point_sample(src_flat, coords)
-
-    lm = sigmoid_ce_loss(point_logits, point_labels)
-    ld = dice_loss(point_logits, point_labels)
-    vf = valid_flat.astype(lm.dtype)
+    vf = tgt_valid.reshape(b * t).astype(lm.dtype)
     return (
         jnp.sum(lm * vf) / num_masks,
         jnp.sum(ld * vf) / num_masks,
@@ -151,16 +182,46 @@ def set_criterion(
         for k, i in enumerate(idxs):
             matched_all[i] = sol[k * b : (k + 1) * b]
 
+    # Mask losses: stack every layer with the same mask resolution into ONE
+    # uncertainty-sampling + point_sample pass (the per-layer small-batch
+    # launches dominated the criterion cost).  Keys: one per group — each
+    # stacked mask still gets its own sampled points, and the reference
+    # samples layers independently anyway.
+    H, W = tgt_masks.shape[-2:]
+    mask_losses = [None] * len(all_outputs)
+    groups: Dict[Tuple, list] = {}
     for i, out in enumerate(all_outputs):
-        k_pts = layer_keys[i]
+        groups.setdefault(out["pred_masks"].shape[-2:], []).append(i)
+    for gi, (shape_hw, idxs) in enumerate(sorted(groups.items())):
+        srcs = []
+        for i in idxs:
+            pm = all_outputs[i]["pred_masks"]
+            srcs.append(
+                jnp.take_along_axis(
+                    pm, matched_all[i][:, :, None, None], axis=1
+                ).reshape(b * t, *shape_hw)
+            )
+        src_flat = jnp.concatenate(srcs, axis=0)          # (L*b*t, h, w)
+        tgt_flat = jnp.broadcast_to(
+            tgt_masks.reshape(1, b * t, H, W),
+            (len(idxs), b * t, H, W),
+        ).reshape(len(idxs) * b * t, H, W).astype(src_flat.dtype)
+        lm, ld = _loss_masks_stacked(
+            layer_keys[idxs[0]], src_flat, tgt_flat, num_points,
+            oversample_ratio, importance_sample_ratio,
+        )
+        vf = tgt_valid.reshape(1, b * t).astype(lm.dtype)
+        lm_per = jnp.sum(lm.reshape(len(idxs), b * t) * vf, axis=1) / num_masks
+        ld_per = jnp.sum(ld.reshape(len(idxs), b * t) * vf, axis=1) / num_masks
+        for k, i in enumerate(idxs):
+            mask_losses[i] = (lm_per[k], ld_per[k])
+
+    for i, out in enumerate(all_outputs):
         matched = matched_all[i]
         l_ce = _loss_labels(
             out["pred_logits"], tgt_labels, tgt_valid, matched, num_classes, eos_coef
         )
-        l_mask, l_dice = _loss_masks(
-            k_pts, out["pred_masks"], tgt_masks, tgt_valid, matched, num_masks,
-            num_points, oversample_ratio, importance_sample_ratio,
-        )
+        l_mask, l_dice = mask_losses[i]
         suffix = "" if i == 0 else f"_{i - 1}"
         losses[f"loss_ce{suffix}"] = l_ce
         losses[f"loss_mask{suffix}"] = l_mask
