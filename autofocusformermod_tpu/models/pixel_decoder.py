@@ -32,6 +32,27 @@ from ..ops.gather import take_rows
 from .layers import WeightNet, position_embedding_sine, rel_pos_features
 
 
+def _msdetrpc_dispatch(nn_idxs, nn_weights, attn_i, values_all, level_sizes):
+    """Route the deformable-sampling contraction to the fused Pallas kernel
+    (ops/pallas/msdetrpc_kernel.py — one-hot x MXU, no row gathers) on TPU,
+    falling back to the XLA gather composition elsewhere or when shapes are
+    unsupported.  The Pallas path computes at bf16 matmul precision
+    (~0.5% rel); the XLA path stays the exact semantic reference."""
+    from ..ops.dispatch import fused_attention_available
+    from ..ops.pallas.msdetrpc_kernel import (
+        msdetrpc_pallas,
+        msdetrpc_pallas_supported,
+    )
+
+    if fused_attention_available() and msdetrpc_pallas_supported(
+        nn_idxs, values_all, len(level_sizes), level_sizes
+    ):
+        return msdetrpc_pallas(
+            nn_idxs, nn_weights, attn_i, values_all, level_sizes
+        )
+    return msdetrpc(nn_idxs, nn_weights, attn_i, values_all)
+
+
 def scale_pos(pos: jnp.ndarray, last_ss, cur_ss, no_bias: bool = False) -> jnp.ndarray:
     """Rescale 2-D positions between canvases (msdeformattn_pc.py:28-52)."""
     if tuple(last_ss) == tuple(cur_ss):
@@ -183,7 +204,9 @@ class MSDeformAttnPc(nn.Module):
             nn_idxs = jnp.stack(nn_idxs, axis=2).reshape(b * h, n_i, k * l, 4)
             nn_weights = jnp.stack(nn_weights, axis=2).reshape(b * h, n_i, k * l, 4)
             attn_i = attn.transpose(0, 2, 1, 4, 3).reshape(b * h, n_i, k * l)
-            sampled = msdetrpc(nn_idxs, nn_weights, attn_i, values_all)
+            sampled = _msdetrpc_dispatch(
+                nn_idxs, nn_weights, attn_i, values_all, tuple(level_sizes)
+            )
             sampled = sampled.reshape(b, h, n_i, c_).transpose(0, 2, 1, 3).reshape(b, n_i, c)
             outputs.append(out_proj(sampled))
         return outputs
