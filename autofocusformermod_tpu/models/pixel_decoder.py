@@ -32,6 +32,13 @@ from ..ops.gather import take_rows
 from .layers import WeightNet, position_embedding_sine, rel_pos_features
 
 
+# Profiling ablation switches (tools/profile; never set in production code):
+# zero out a stage to measure its in-context cost by difference.
+ABLATE_MSDETRPC = False
+ABLATE_PACK = False
+ABLATE_KNN = False
+
+
 def _msdetrpc_dispatch(nn_idxs, nn_weights, attn_i, values_all, level_sizes):
     """Route the deformable-sampling contraction to the fused Pallas kernel
     (ops/pallas/msdetrpc_kernel.py — one-hot x MXU, no row gathers) on TPU,
@@ -44,6 +51,10 @@ def _msdetrpc_dispatch(nn_idxs, nn_weights, attn_i, values_all, level_sizes):
         msdetrpc_pallas_supported,
     )
 
+    if ABLATE_MSDETRPC:
+        bh, n_i = nn_idxs.shape[:2]
+        return jnp.zeros((bh, n_i, values_all.shape[-1]),
+                         values_all.dtype) + attn_i.sum() * 0.0
     if fused_attention_available() and msdetrpc_pallas_supported(
         nn_idxs, values_all, len(level_sizes), level_sizes
     ):
@@ -188,9 +199,15 @@ class MSDeformAttnPc(nn.Module):
                 gx = jnp.clip(sl[..., 0], 0, grid_hw[1] - 1)
                 gy = jnp.clip(sl[..., 1], 0, grid_hw[0] - 1) * grid_hw[1]
                 gather_idx = (gx + gy).reshape(b, h * n_i * k)  # (b, h*n_i*k)
-                packed = take_rows(nb_packed[j], gather_idx).reshape(
-                    b * h, n_i * k, 12
-                )
+                if ABLATE_PACK:
+                    packed = jnp.broadcast_to(
+                        nb_packed[j][:, :1] + gather_idx[..., None].astype(jnp.float32) * 0.0,
+                        (b, h * n_i * k, 12),
+                    ).reshape(b * h, n_i * k, 12)
+                else:
+                    packed = take_rows(nb_packed[j], gather_idx).reshape(
+                        b * h, n_i * k, 12
+                    )
                 nb_real = packed[..., 0:4].astype(jnp.int32)
                 nb_x = packed[..., 4:8]
                 nb_y = packed[..., 8:12]
@@ -312,7 +329,13 @@ class MSDeformAttnPixelDecoder(nn.Module):
             pos_embed.append(position_embedding_sine(pos, self.conv_dim // 2))
             spatial_shapes.append(ss)
             scaled = scale_pos(pos, ss, grid_hw, no_bias=True)
-            nb_idx.append(pack_neighbor_table(knn(grid_pos, scaled, 4), pos))
+            if ABLATE_KNN:
+                nb_idx.append(
+                    jnp.zeros((b, grid_pos.shape[1], 12), jnp.float32)
+                    + jnp.sum(scaled) * 0.0
+                )
+            else:
+                nb_idx.append(pack_neighbor_table(knn(grid_pos, scaled, 4), pos))
 
         level_embed = self.param(
             "level_embed", nn.initializers.normal(1.0), (num_levels, self.conv_dim)

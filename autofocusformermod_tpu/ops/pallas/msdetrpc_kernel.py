@@ -37,6 +37,21 @@ pipelining and the per-tile 128x128 dots serialized on MXU latency.  Fully
 dense per-level blocks with static shapes are the fix — "dense + static"
 beats "sparse + dynamic" on TPU even at 1/5 the arithmetic.
 
+Dead ends measured on v5e so future rounds need not retry them (the
+per-program cost is MXU op-ISSUE bound at ~40 us for the 4096-query level,
+not FLOP bound, and none of these changed that):
+  - 8-query block-diagonal packing (ch = hi*8 + qq) to deepen the batched
+    dot's contraction from P=16 to 128: the grouped (G, 8, c) final dots
+    unroll per leading dim in Mosaic — 60 ms vs v2's 40 ms.
+  - fusing all three levels' batched W dots into one via per-column hi-band
+    offsets: compiles (iota-compare offsets; in-kernel jnp.concatenate of
+    lane-offset slices does NOT lower) but ties v2 exactly — the unrolled
+    batch dim, not the dot count, is the limit.
+  - one double-contraction final dot against val (42, 128, c):
+    'tpu.matmul lhs contracting dims must be of size 1'.
+  - Mosaic also rejects in-kernel shape-casts that move lanes to sublanes
+    ((128, 16) -> (16, 128)); any regrouping must happen in XLA outside.
+
 Backward runs through the XLA composition via custom_vjp (scatter-add
 gathers appear only in the training path where they are a minor cost next to
 the matmul backward).
@@ -178,6 +193,17 @@ def msdetrpc_pallas_impl(nn_idx, nn_weight, attn, val,
         _kernel_v2 if version == 2 else _kernel,
         level_sizes=tuple(level_sizes), pairs_per_level=pairs,
     )
+    common = dict(
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bh * nqb * BLOCK_Q * ntot * (pairs + c_),
+            bytes_accessed=bh * (ntot * c_ * 4 + n_pad * n_levels * pairs * 8),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
     out = pl.pallas_call(
         kernel,
         grid=(bh, nqb),
@@ -192,15 +218,7 @@ def msdetrpc_pallas_impl(nn_idx, nn_weight, attn, val,
         out_specs=pl.BlockSpec((1, BLOCK_Q, c_), lambda b, q: (b, q, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, n_pad, c_), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * bh * nqb * BLOCK_Q * ntot * (pairs + c_),
-            bytes_accessed=bh * (ntot * c_ * 4 + n_pad * n_levels * pairs * 8),
-            transcendentals=0,
-        ),
-        interpret=interpret,
+        **common,
     )(idx, wr, val_f)
     return out[:, :n]
 
