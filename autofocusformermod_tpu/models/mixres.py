@@ -263,7 +263,17 @@ class MixResViT(nn.Module):
 class MixResLayer(nn.Module):
     """Cluster-attention blocks over a mixed-scale point cloud — the MRNB
     BasicLayer (mixres_neighbour.py:374-509): cluster on (x, y), run blocks,
-    restore the incoming (scale-segment) order afterwards."""
+    restore the incoming (scale-segment) order afterwards.
+
+    ``xattn_ctx`` (the MixResNeighbourXAttn variant,
+    mixres_neighbour_xattn.py:317,366-374): {'n_new': int, 'img_feat':
+    (b, n_img, c)} — before EVERY block the newest-scale tokens (the trailing
+    static segment in original order) pre-norm cross-attend to the stage's
+    image patch features with a residual, mirroring the reference's
+    per-block CrossAttention(normalize_before=True).  The reference splits
+    high/low tokens with a data-dependent scale compare; here the newest
+    segment is a static slice, so the split is free — only the SFC reorder
+    has to be inverted around the attention."""
 
     dim: int
     cluster_size: int
@@ -277,7 +287,8 @@ class MixResLayer(nn.Module):
     layer_scale: float = 0.0
 
     @nn.compact
-    def __call__(self, pos, feat, h, w, deterministic: bool = True):
+    def __call__(self, pos, feat, h, w, deterministic: bool = True,
+                 xattn_ctx: Optional[Dict] = None):
         """pos: (b, n, 3) (scale, x, y).  Returns (pos, feat) in the ORIGINAL
         token order (segments preserved)."""
         b, n, _ = pos.shape
@@ -317,7 +328,29 @@ class MixResLayer(nn.Module):
                 "rel_feat5": rel_feat5,
             }
 
+        inv = None
+        if rank is not None:
+            # inverse of the curve reorder (needed per-block for xattn and
+            # once at the end to restore scale-segment order)
+            binv = jnp.broadcast_to(jnp.arange(b)[:, None], (b, n))
+            inv = jnp.zeros((b, n), jnp.int32).at[binv, rank].set(
+                jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+            )
+
         for i in range(self.depth):
+            if xattn_ctx is not None:
+                from .transformer_decoder import MultiheadAttention
+
+                n_new = xattn_ctx["n_new"]
+                img_feat = xattn_ctx["img_feat"]
+                f_orig = feat_s if inv is None else _gather_by_idx(feat_s, inv)
+                new_tok = f_orig[:, -n_new:]
+                q = nn.LayerNorm(name=f"x_attn_norm_{i}")(new_tok)
+                new_tok = new_tok + MultiheadAttention(
+                    self.dim, self.num_heads, name=f"x_attn_{i}"
+                )(q, img_feat, img_feat, deterministic=deterministic)
+                f_orig = jnp.concatenate([f_orig[:, :-n_new], new_tok], axis=1)
+                feat_s = f_orig if rank is None else _gather_by_idx(f_orig, rank)
             feat_s = ClusterTransformerBlock(
                 dim=self.dim,
                 num_heads=self.num_heads,
@@ -330,12 +363,8 @@ class MixResLayer(nn.Module):
                 name=f"blocks_{i}",
             )(feat_s, ctx, global_attn, deterministic)
 
-        if rank is not None:
+        if inv is not None:
             # invert the curve reorder so scale segments stay contiguous
-            binv = jnp.broadcast_to(jnp.arange(b)[:, None], (b, n))
-            inv = jnp.zeros((b, n), jnp.int32).at[binv, rank].set(
-                jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
-            )
             feat_s = _gather_by_idx(feat_s, inv)
         return pos, feat_s
 
@@ -365,9 +394,9 @@ class MixResNeighbour(nn.Module):
     first_layer: bool = False
     do_upsample: bool = True
     cross_attend_image: bool = False  # MixResNeighbourXAttn: newest-scale
-    # tokens cross-attend to their image patch features before the cluster
-    # layers (mixres_neighbour_xattn.py:317,366 does this per block; here it
-    # runs once after the split — same capability, simpler static structure)
+    # tokens cross-attend to their image patch features before EVERY cluster
+    # block (mixres_neighbour_xattn.py:317,366-374), memory built once per
+    # stage (:767-792); consumed as xattn_ctx inside MixResLayer
 
     def _split_tokens(self, feat, pos, scores, k_split):
         """Top-k split selection with straight-through gradients
@@ -415,6 +444,7 @@ class MixResNeighbour(nn.Module):
         b, H, W, _ = im.shape
         ps = self.patch_sizes[self.scale]
         min_patched = (H // self.min_patch_size, W // self.min_patch_size)
+        xattn_ctx = None
 
         if self.first_layer:
             x = OverlapPatchEmbedding(ps, self.d_model, use_bn=True,
@@ -485,16 +515,17 @@ class MixResNeighbour(nn.Module):
                 x = nn.Dense(self.d_model, name="token_projection")(x)
 
             if self.cross_attend_image:
-                from .transformer_decoder import MultiheadAttention
-
+                # MixResNeighbourXAttn memory: per-new-token raw-pixel patch
+                # features + sine pos emb (get_image_features,
+                # mixres_neighbour_xattn.py:767-792); built once per stage
+                # and cross-attended by the newest tokens in EVERY block
+                # (xattn_ctx consumed inside MixResLayer)
                 n_new = tokens_per_scale[-1]
-                new_tok = x[:, -n_new:]
                 img_feat = self._image_patch_features(pos[:, -n_new:, 1:], im)
-                new_tok = new_tok + MultiheadAttention(
-                    self.d_model, self.n_heads, name="x_attn"
-                )(new_tok, img_feat, img_feat)
-                new_tok = nn.LayerNorm(name="x_attn_norm")(new_tok)
-                x = jnp.concatenate([x[:, :-n_new], new_tok], axis=1)
+                img_feat = img_feat + position_embedding_sine(
+                    pos[:, -n_new:, 1:], self.d_model // 2
+                )
+                xattn_ctx = {"n_new": n_new, "img_feat": img_feat}
         else:
             x = nn.LayerNorm(name="token_norm")(features)
             if features.shape[-1] != self.d_model:
@@ -513,7 +544,8 @@ class MixResNeighbour(nn.Module):
             drop_path=tuple(self.drop_path),
             layer_scale=self.layer_scale,
             name="layers",
-        )(pos, x, min_patched[0], min_patched[1], deterministic=not train)
+        )(pos, x, min_patched[0], min_patched[1], deterministic=not train,
+          xattn_ctx=xattn_ctx)
 
         x = nn.LayerNorm(name="norm_out")(x)
 
