@@ -52,9 +52,22 @@ not FLOP bound, and none of these changed that):
   - Mosaic also rejects in-kernel shape-casts that move lanes to sublanes
     ((128, 16) -> (16, 128)); any regrouping must happen in XLA outside.
 
-Backward runs through the XLA composition via custom_vjp (scatter-add
-gathers appear only in the training path where they are a minor cost next to
-the matmul backward).
+Backward is a second Pallas kernel (_bwd_kernel) reusing the same hi/lo
+one-hot decomposition — measured 865 ms per train step (batch 2, 512x512)
+for the XLA scatter-add composition it replaces, which was the single
+largest term in the whole training step:
+
+    d_val = W^T @ g            per level, per hi-band: a (128q x 128t)^T
+                               x (128q x c) MXU dot, accumulated in the
+                               output block across query-grid steps;
+    d_w[q,p] = g[q] . val[idx[q,p]]
+             = sum_hi 1[hi_p=hi] * (l1_oh @ (g @ val_hi^T)^T)[q,p]
+                               — M_hi = g @ val_hi^T is dense on MXU and the
+                               P-wide extraction is the same batched one-hot
+                               dot as the forward W build (no row gathers).
+
+d_attn / d_nn_weight then split off the folded weight gradient in XLA
+(w = nn_weight * attn is elementwise).
 
 Requires every level size (and the query count after padding) to be a
 multiple of 128; the pixel decoder guarantees this for standard crops, and
@@ -147,6 +160,63 @@ def _kernel(idx_ref, w_ref, val_ref, out_ref, *, level_sizes, pairs_per_level):
     out_ref[0] = acc
 
 
+def _bwd_kernel(idx_ref, w_ref, val_ref, g_ref, dval_ref, dw_ref, *,
+                level_sizes, pairs_per_level):
+    """Gradient of _kernel_v2 wrt (folded weights, val) — see module
+    docstring.  dval_ref is revisited across the query grid dimension and
+    accumulated in place; dw_ref is per-query-block."""
+    q_step = pl.program_id(1)
+    bq = idx_ref.shape[1]
+    p = pairs_per_level
+    g = g_ref[0]                                           # (BQ, c_)
+
+    @pl.when(q_step == 0)
+    def _():
+        dval_ref[0] = jnp.zeros_like(dval_ref[0])
+
+    off = 0
+    for j, nj in enumerate(level_sizes):
+        hi_n = nj // 128
+        idx_j = idx_ref[0, :, j, :] - off                  # (BQ, P) local
+        w_j = w_ref[0, :, j, :]
+        hi = idx_j // 128
+        lo = idx_j - hi * 128
+        lo_match = (
+            lo[:, :, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (bq, p, 128), 2)
+        )                                                  # (BQ, P, 128)
+        h_oh = (
+            hi[:, :, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (bq, p, hi_n), 2)
+        ).astype(jnp.float32)                              # (BQ, P, HI)
+        l_oh_w = jnp.where(lo_match, w_j[:, :, None], 0.0)
+        l_oh_1 = lo_match.astype(jnp.float32)
+        w_mat = jax.lax.dot_general(
+            h_oh, l_oh_w, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                  # (BQ, HI, 128)
+        dw_j = jnp.zeros((bq, p), jnp.float32)
+        for hi_idx in range(hi_n):
+            lo_sl = slice(off + hi_idx * 128, off + (hi_idx + 1) * 128)
+            # d_val[band] += W_band^T @ g  (contract the query dim)
+            dval_ref[0, lo_sl, :] += jax.lax.dot_general(
+                w_mat[:, hi_idx, :], g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                              # (128, c_)
+            # M_band[q, t] = g[q] . val[band t]
+            m_hi = jax.lax.dot_general(
+                g, val_ref[0, lo_sl, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                              # (BQ, 128)
+            tmp = jax.lax.dot_general(
+                l_oh_1, m_hi, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                              # (BQ, P)
+            dw_j = dw_j + jnp.where(hi == hi_idx, tmp, 0.0)
+        dw_ref[0, :, j, :] = dw_j
+        off += nj
+
+
 def _pad_to(x, mult, axis, value=0):
     pad = (-x.shape[axis]) % mult
     if pad == 0:
@@ -166,6 +236,24 @@ def msdetrpc_pallas_supported(nn_idx, val, n_levels: int,
     )
 
 
+def _regroup(nn_idx, nn_weight, attn, n_levels: int):
+    """Fold attn into the Shepard weights and regroup slots (k, l) into
+    per-level pair blocks, padded to BLOCK_Q queries.  Slot s = ki*n_levels+j
+    (levels interleave fastest in the stacked m axis — pixel_decoder.py:221).
+    Returns (idx, wr): (bh, n_pad, n_levels, pairs)."""
+    bh, n, m, kk = nn_idx.shape
+    kpts = m // n_levels
+    pairs = kpts * kk
+    w = nn_weight * attn[..., None]
+    idx = nn_idx.reshape(bh, n, kpts, n_levels, kk).transpose(0, 1, 3, 2, 4)
+    idx = idx.reshape(bh, n, n_levels, pairs)
+    wr = w.reshape(bh, n, kpts, n_levels, kk).transpose(0, 1, 3, 2, 4)
+    wr = wr.reshape(bh, n, n_levels, pairs).astype(jnp.float32)
+    idx = _pad_to(idx, BLOCK_Q, 1, value=0)
+    wr = _pad_to(wr, BLOCK_Q, 1, value=0.0)     # zero weights: pad rows inert
+    return idx, wr
+
+
 def msdetrpc_pallas_impl(nn_idx, nn_weight, attn, val,
                          level_sizes: Tuple[int, ...], version: int = 2,
                          interpret: bool = False):
@@ -173,19 +261,10 @@ def msdetrpc_pallas_impl(nn_idx, nn_weight, attn, val,
     ntot, c_ = val.shape[1:]
     n_levels = len(level_sizes)
     assert m % n_levels == 0
-    kpts = m // n_levels
-    pairs = kpts * kk
+    pairs = (m // n_levels) * kk
 
-    w = nn_weight * attn[..., None]
-    # regroup slots (k, l) -> per-level pair blocks: slot s = ki*n_levels + j
-    idx = nn_idx.reshape(bh, n, kpts, n_levels, kk).transpose(0, 1, 3, 2, 4)
-    idx = idx.reshape(bh, n, n_levels, pairs)
-    wr = w.reshape(bh, n, kpts, n_levels, kk).transpose(0, 1, 3, 2, 4)
-    wr = wr.reshape(bh, n, n_levels, pairs).astype(jnp.float32)
-
-    n_pad = -(-n // BLOCK_Q) * BLOCK_Q
-    idx = _pad_to(idx, BLOCK_Q, 1, value=0)
-    wr = _pad_to(wr, BLOCK_Q, 1, value=0.0)     # zero weights: pad rows inert
+    idx, wr = _regroup(nn_idx, nn_weight, attn, n_levels)
+    n_pad = idx.shape[1]
     val_f = val.astype(jnp.float32)
     nqb = n_pad // BLOCK_Q
 
@@ -238,14 +317,73 @@ def _fwd(nn_idx, nn_weight, attn, val, level_sizes):
     )
 
 
+def msdetrpc_pallas_bwd_impl(nn_idx, nn_weight, attn, val, g,
+                             level_sizes: Tuple[int, ...],
+                             interpret: bool = False):
+    """Pallas VJP: returns (d_nn_weight, d_attn, d_val)."""
+    bh, n, m, kk = nn_idx.shape
+    ntot, c_ = val.shape[1:]
+    n_levels = len(level_sizes)
+    kpts = m // n_levels
+    pairs = kpts * kk
+
+    idx, wr = _regroup(nn_idx, nn_weight, attn, n_levels)
+    n_pad = idx.shape[1]
+    nqb = n_pad // BLOCK_Q
+    val_f = val.astype(jnp.float32)
+    g_f = _pad_to(g.astype(jnp.float32), BLOCK_Q, 1, value=0.0)
+
+    kernel = functools.partial(
+        _bwd_kernel, level_sizes=tuple(level_sizes), pairs_per_level=pairs,
+    )
+    dval, dwr = pl.pallas_call(
+        kernel,
+        grid=(bh, nqb),
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_Q, n_levels, pairs), lambda b, q: (b, q, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, n_levels, pairs), lambda b, q: (b, q, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ntot, c_), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, c_), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ntot, c_), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, n_levels, pairs), lambda b, q: (b, q, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, ntot, c_), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n_pad, n_levels, pairs), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bh * nqb * BLOCK_Q * ntot * (2 * pairs + 2 * c_),
+            bytes_accessed=bh * (2 * ntot * c_ * 4
+                                 + n_pad * (n_levels * pairs * 3 + c_) * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(idx, wr, val_f, g_f)
+
+    # un-regroup the folded-weight gradient back to (bh, n, m, kk)
+    d_wfold = dwr[:, :n].reshape(bh, n, n_levels, kpts, kk)
+    d_wfold = d_wfold.transpose(0, 1, 3, 2, 4).reshape(bh, n, m, kk)
+    d_nn_weight = (d_wfold * attn[..., None]).astype(nn_weight.dtype)
+    d_attn = jnp.sum(d_wfold * nn_weight, axis=-1).astype(attn.dtype)
+    return d_nn_weight, d_attn, dval.astype(val.dtype)
+
+
 def _bwd(level_sizes, res, g):
     nn_idx, nn_weight, attn, val = res
-
-    def f(nn_weight, attn, val):
-        return msdetrpc_xla(nn_idx, nn_weight, attn, val)
-
-    _, vjp = jax.vjp(f, nn_weight, attn, val)
-    dw, da, dv = vjp(g)
+    dw, da, dv = msdetrpc_pallas_bwd_impl(
+        nn_idx, nn_weight, attn, val, g, level_sizes
+    )
     return None, dw, da, dv
 
 

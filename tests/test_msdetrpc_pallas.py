@@ -59,6 +59,60 @@ def test_msdetrpc_pallas_v2_interpret_exact():
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_msdetrpc_pallas_bwd_interpret_exact():
+    """VJP kernel (d_val accumulate, one-hot d_w extraction) exact in fp32
+    interpret mode against the XLA composition's autodiff."""
+    from autofocusformermod_tpu.ops.clusten import msdetrpc
+    from autofocusformermod_tpu.ops.pallas.msdetrpc_kernel import (
+        msdetrpc_pallas_bwd_impl,
+    )
+
+    nn_idx, nn_w, attn, val, sizes = _make_case(
+        np.random.default_rng(1), bh=2, n=140
+    )
+    nn_idx, nn_w, attn, val = map(jnp.asarray, (nn_idx, nn_w, attn, val))
+    out, vjp = jax.vjp(lambda w, a, v: msdetrpc(nn_idx, w, a, v),
+                       nn_w, attn, val)
+    g = jnp.asarray(
+        np.random.default_rng(2).standard_normal(out.shape).astype(np.float32)
+    )
+    dw_ref, da_ref, dv_ref = vjp(g)
+    dw, da, dv = msdetrpc_pallas_bwd_impl(
+        nn_idx, nn_w, attn, val, g, sizes, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(da), np.asarray(da_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(not _tpu(), reason="needs TPU")
+def test_msdetrpc_pallas_bwd_parity():
+    """Compiled VJP vs XLA-composition autodiff at the bf16-MXU budget."""
+    from autofocusformermod_tpu.ops.clusten import msdetrpc
+    from autofocusformermod_tpu.ops.pallas.msdetrpc_kernel import msdetrpc_pallas
+
+    nn_idx, nn_w, attn, val, sizes = _make_case(np.random.default_rng(3))
+    nn_idx, nn_w, attn, val = map(jnp.asarray, (nn_idx, nn_w, attn, val))
+    out, vjp_ref = jax.vjp(lambda w, a, v: msdetrpc(nn_idx, w, a, v),
+                           nn_w, attn, val)
+    g = jnp.asarray(
+        np.random.default_rng(4).standard_normal(out.shape).astype(np.float32)
+    )
+    dw_ref, da_ref, dv_ref = vjp_ref(g)
+    _, vjp = jax.vjp(
+        lambda w, a, v: msdetrpc_pallas(nn_idx, w, a, v, sizes),
+        nn_w, attn, val,
+    )
+    dw, da, dv = vjp(g)
+    for got, ref in ((dw, dw_ref), (da, da_ref), (dv, dv_ref)):
+        got, ref = np.asarray(got), np.asarray(ref)
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, atol=2e-2 * scale)
+
+
 @pytest.mark.skipif(not _tpu(), reason="needs TPU")
 def test_msdetrpc_pallas_parity():
     from autofocusformermod_tpu.ops.clusten import msdetrpc
