@@ -168,4 +168,8 @@ def test_fused_backward_matches_gather_composition():
     g1 = loss(sfc_cluster_attention)
     g2 = loss(gather_composition)
     for a, b_ in zip(g1, g2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-3)
+        # fp32 accumulation-order differences only; dw5/db5 reduce over every
+        # (row, neighbor) pair so their magnitudes reach ~1e4
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-4, atol=5e-3
+        )
