@@ -32,6 +32,7 @@ from .point_sample import (
     get_uncertain_point_coords_nn_ranked,
     get_uncertain_point_coords_with_randomness,
     point_sample,
+    point_sample_auto,
 )
 
 # Rank oversampled candidates with a 1-tap nearest-cell read instead of the
@@ -95,8 +96,8 @@ def _loss_masks_stacked(key, src_flat, tgt_flat, num_points,
             oversample_ratio, importance_sample_ratio,
         )
     )
-    point_labels = point_sample(tgt_flat, coords)
-    point_logits = point_sample(src_flat, coords)
+    point_labels = jax.lax.stop_gradient(point_sample_auto(tgt_flat, coords))
+    point_logits = point_sample_auto(src_flat, coords)
     return sigmoid_ce_loss(point_logits, point_labels), dice_loss(
         point_logits, point_labels
     )

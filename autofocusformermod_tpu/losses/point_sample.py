@@ -92,6 +92,24 @@ def point_sample_shared(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     return (top * (1 - wy) + bot * wy).T                   # (m, p)
 
 
+def point_sample_auto(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """``point_sample`` routed through the fused one-hot MXU kernel on TPU
+    (ops/pallas/point_sample_kernel.py — dense matmuls instead of ~110M/s
+    element gathers; the criterion's dominant cost) with the XLA flat-gather
+    path as the semantic reference and CPU/odd-shape fallback."""
+    from ..ops.dispatch import fused_attention_available
+    from ..ops.pallas.point_sample_kernel import (
+        point_sample_pallas,
+        point_sample_pallas_supported,
+    )
+
+    if fused_attention_available() and point_sample_pallas_supported(
+        masks, coords
+    ):
+        return point_sample_pallas(masks, coords)
+    return point_sample(masks, coords)
+
+
 def calculate_uncertainty(logits: jnp.ndarray) -> jnp.ndarray:
     """Uncertainty = -|logit| (criterion.py:67-81). logits: (n, p) -> (n, p)."""
     return -jnp.abs(logits)
@@ -126,13 +144,29 @@ def get_uncertain_point_coords_nn_ranked(
     num_sampled = int(num_points * oversample_ratio)
     k1, k2 = jax.random.split(key)
     coords = jax.random.uniform(k1, (n, num_sampled, 2))
-    cx = jnp.clip((coords[..., 0] * w).astype(jnp.int32), 0, w - 1)
-    cy = jnp.clip((coords[..., 1] * h).astype(jnp.int32), 0, h - 1)
-    flat = mask_logits.reshape(n * h * w)
-    row0 = (jnp.arange(n, dtype=jnp.int32) * (h * w))[:, None]
-    logits = jnp.take(flat, (row0 + cy * w + cx).reshape(-1), axis=0).reshape(
-        n, num_sampled
+
+    from ..ops.dispatch import fused_attention_available
+    from ..ops.pallas.point_sample_kernel import (
+        point_sample_pallas,
+        point_sample_pallas_supported,
+        snap_to_cell_centers,
     )
+
+    if fused_attention_available() and point_sample_pallas_supported(
+        mask_logits, coords
+    ):
+        # bilinear at snapped cell centers == the 1-tap nearest read, on MXU
+        logits = point_sample_pallas(
+            mask_logits, snap_to_cell_centers(coords, h, w)
+        )
+    else:
+        cx = jnp.clip((coords[..., 0] * w).astype(jnp.int32), 0, w - 1)
+        cy = jnp.clip((coords[..., 1] * h).astype(jnp.int32), 0, h - 1)
+        flat = mask_logits.reshape(n * h * w)
+        row0 = (jnp.arange(n, dtype=jnp.int32) * (h * w))[:, None]
+        logits = jnp.take(
+            flat, (row0 + cy * w + cx).reshape(-1), axis=0
+        ).reshape(n, num_sampled)
     unc = calculate_uncertainty(logits)
 
     num_uncertain = int(importance_sample_ratio * num_points)

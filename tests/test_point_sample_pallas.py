@@ -1,0 +1,95 @@
+"""Parity tests for the fused one-hot MXU point-sampling kernel vs the XLA
+flat-gather reference (losses/point_sample.point_sample)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def _tpu():
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _case(rng, n=4, h=128, w=128, p=256):
+    masks = jnp.asarray(rng.standard_normal((n, h, w)), jnp.float32)
+    # cover in-bounds, edge, and out-of-bounds coords
+    coords = jnp.asarray(rng.uniform(-0.05, 1.05, (n, p, 2)), jnp.float32)
+    return masks, coords
+
+
+def test_point_sample_pallas_interpret_exact():
+    from autofocusformermod_tpu.losses.point_sample import point_sample
+    from autofocusformermod_tpu.ops.pallas.point_sample_kernel import (
+        point_sample_pallas_impl,
+    )
+
+    masks, coords = _case(np.random.default_rng(0))
+    ref = np.asarray(point_sample(masks, coords))
+    out = np.asarray(point_sample_pallas_impl(masks, coords, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_point_sample_pallas_bwd_interpret_exact():
+    from autofocusformermod_tpu.losses.point_sample import point_sample
+    from autofocusformermod_tpu.ops.pallas.point_sample_kernel import (
+        point_sample_pallas_bwd_impl,
+    )
+
+    masks, coords = _case(np.random.default_rng(1))
+    _, vjp = jax.vjp(lambda m: point_sample(m, coords), masks)
+    g = jnp.asarray(
+        np.random.default_rng(2).standard_normal((masks.shape[0], coords.shape[1])),
+        jnp.float32,
+    )
+    (dref,) = vjp(g)
+    dout = point_sample_pallas_bwd_impl(masks.shape, coords, g, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(dout), np.asarray(dref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_snap_to_cell_centers_is_nearest_read():
+    """Bilinear at snapped centers == the integer nearest-cell gather."""
+    from autofocusformermod_tpu.losses.point_sample import point_sample
+    from autofocusformermod_tpu.ops.pallas.point_sample_kernel import (
+        snap_to_cell_centers,
+    )
+
+    rng = np.random.default_rng(3)
+    n, h, w, p = 3, 64, 32, 100
+    masks = jnp.asarray(rng.standard_normal((n, h, w)), jnp.float32)
+    coords = jnp.asarray(rng.uniform(0, 1, (n, p, 2)), jnp.float32)
+    out = np.asarray(point_sample(masks, snap_to_cell_centers(coords, h, w)))
+    cx = np.clip((np.asarray(coords[..., 0]) * w).astype(int), 0, w - 1)
+    cy = np.clip((np.asarray(coords[..., 1]) * h).astype(int), 0, h - 1)
+    ref = np.asarray(masks)[np.arange(n)[:, None], cy, cx]
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.skipif(not _tpu(), reason="needs TPU")
+def test_point_sample_pallas_tpu_parity():
+    from autofocusformermod_tpu.losses.point_sample import point_sample
+    from autofocusformermod_tpu.ops.pallas.point_sample_kernel import (
+        point_sample_pallas,
+    )
+
+    masks, coords = _case(np.random.default_rng(4), n=8, h=512, w=512, p=512)
+    out, vjp = jax.vjp(lambda m: point_sample_pallas(m, coords), masks)
+    ref, vjp_ref = jax.vjp(lambda m: point_sample(m, coords), masks)
+    scale = np.abs(np.asarray(ref)).max()
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-2 * scale
+    )
+    g = jnp.asarray(
+        np.random.default_rng(5).standard_normal(out.shape), jnp.float32
+    )
+    (d,) = vjp(g)
+    (dref,) = vjp_ref(g)
+    dscale = np.abs(np.asarray(dref)).max()
+    np.testing.assert_allclose(
+        np.asarray(d), np.asarray(dref), atol=2e-2 * dscale
+    )
