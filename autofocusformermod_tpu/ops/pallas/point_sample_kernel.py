@@ -43,7 +43,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_P = 256  # divides both 12544 (supervision) and 37632 (ranking pool)
+BLOCK_P = 256  # minimum tile; divides 12544 (supervision) and 37632 (ranking)
+
+
+def _pick_block_p(p: int, h: int, w: int) -> int:
+    """Largest point tile that divides p and keeps the kernel's working set
+    (two one-hots + the y-interpolated rows + the image) within ~12 MB —
+    bigger tiles amortize per-program overhead (the ranking pass alone is
+    otherwise ~6k programs)."""
+    for bp in (1792, 896, 448, 256, 128):
+        if p % bp == 0 and (bp * (h + 2 * w) + h * w) * 4 < 12 * 1024 * 1024:
+            return bp
+    return 0
 
 
 def _build_onehot(i0f, w_frac, size, bp):
@@ -103,7 +114,7 @@ def _bwd_kernel(x_ref, y_ref, g_ref, dimg_ref):
 def point_sample_pallas_supported(masks, coords) -> bool:
     n, h, w = masks.shape
     p = coords.shape[1]
-    return h % 128 == 0 and w % 128 == 0 and p % BLOCK_P == 0
+    return h % 128 == 0 and w % 128 == 0 and _pick_block_p(p, h, w) > 0
 
 
 def _prep_coords(coords, h, w):
@@ -122,16 +133,17 @@ def point_sample_pallas_impl(masks, coords, interpret: bool = False):
     x, y = _prep_coords(coords.astype(jnp.float32), h, w)
     x = x[:, None, :]                                      # (n, 1, p)
     y = y[:, None, :]
-    npt = p // BLOCK_P
+    bp = _pick_block_p(p, h, w)
+    npt = p // bp
     out = pl.pallas_call(
         _fwd_kernel,
         grid=(n, npt),
         in_specs=[
-            pl.BlockSpec((1, 1, BLOCK_P), lambda ni, pt: (ni, 0, pt)),
-            pl.BlockSpec((1, 1, BLOCK_P), lambda ni, pt: (ni, 0, pt)),
+            pl.BlockSpec((1, 1, bp), lambda ni, pt: (ni, 0, pt)),
+            pl.BlockSpec((1, 1, bp), lambda ni, pt: (ni, 0, pt)),
             pl.BlockSpec((1, h, w), lambda ni, pt: (ni, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, BLOCK_P), lambda ni, pt: (ni, 0, pt)),
+        out_specs=pl.BlockSpec((1, 1, bp), lambda ni, pt: (ni, 0, pt)),
         out_shape=jax.ShapeDtypeStruct((n, 1, p), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=24 * 1024 * 1024,
@@ -153,14 +165,15 @@ def point_sample_pallas_bwd_impl(masks_shape, coords, g, interpret: bool = False
     x = x[:, None, :]
     y = y[:, None, :]
     g = g.astype(jnp.float32)[:, None, :]
-    npt = p // BLOCK_P
+    bp = _pick_block_p(p, h, w)
+    npt = p // bp
     dimg = pl.pallas_call(
         _bwd_kernel,
         grid=(n, npt),
         in_specs=[
-            pl.BlockSpec((1, 1, BLOCK_P), lambda ni, pt: (ni, 0, pt)),
-            pl.BlockSpec((1, 1, BLOCK_P), lambda ni, pt: (ni, 0, pt)),
-            pl.BlockSpec((1, 1, BLOCK_P), lambda ni, pt: (ni, 0, pt)),
+            pl.BlockSpec((1, 1, bp), lambda ni, pt: (ni, 0, pt)),
+            pl.BlockSpec((1, 1, bp), lambda ni, pt: (ni, 0, pt)),
+            pl.BlockSpec((1, 1, bp), lambda ni, pt: (ni, 0, pt)),
         ],
         out_specs=pl.BlockSpec((1, h, w), lambda ni, pt: (ni, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.float32),

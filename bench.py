@@ -140,9 +140,10 @@ def _full_details(primary_ips, batch, iters, warmup):
         details["aff_small_infer_512"] = {"error": str(e)[:200]}
     flush()
     try:
-        # batch 2: the full training step (fwd + matcher + criterion over
-        # 12544 points + backward of every gather) OOMs HBM at batch 4
-        train_ips = _bench_train_step(_flagship_cfg(), min(batch, 2),
+        # batch 4 is the best measured train operating point (the fused
+        # Pallas backward kernels removed the HBM OOM that previously
+        # limited the step to batch 2; batch 8 measures slightly worse)
+        train_ips = _bench_train_step(_flagship_cfg(), min(batch, 4),
                                       max(iters // 2, 3), warmup)
         details["aff_mini_train_512"] = {"images_per_sec_chip": round(train_ips, 3)}
     except Exception as e:
