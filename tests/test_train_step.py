@@ -67,6 +67,33 @@ def test_single_steps_decrease_loss(setup):
     assert min(losses[-3:]) < losses[0], losses
 
 
+def test_tp_sharded_step_matches_dp(setup):
+    """2-axis (data x model) mesh: tensor-parallel kernels + data-parallel
+    batch produce the same loss as pure DP (GSPMD collectives are exact)."""
+    from autofocusformermod_tpu.parallel import make_mesh_2d, shard_state_tp
+
+    cfg, model, state, step_fn, batch = setup
+    # global batch 8: divisible by both the 8-way data mesh and the 4-way
+    # data axis of the (4 data x 2 model) mesh
+    big = jax.tree_util.tree_map(
+        lambda x: jnp.concatenate([x] * 4, axis=0), batch
+    )
+    key = jax.random.PRNGKey(7)
+
+    mesh_dp = make_mesh(8)
+    st_dp = replicate(mesh_dp, state)
+    _, m_dp = step_fn(st_dp, shard_batch(mesh_dp, big), key)
+
+    mesh_tp = make_mesh_2d(4, 2)
+    st_tp = shard_state_tp(mesh_tp, state)
+    new_tp, m_tp = step_fn(st_tp, shard_batch(mesh_tp, big), key)
+    assert np.isfinite(float(m_tp["total_loss"]))
+    assert int(new_tp.step) == int(state.step) + 1
+    np.testing.assert_allclose(
+        float(m_tp["total_loss"]), float(m_dp["total_loss"]), rtol=2e-4
+    )
+
+
 def test_sharded_step_runs_on_mesh(setup):
     cfg, model, state, step_fn, batch = setup
     mesh = make_mesh(8)
