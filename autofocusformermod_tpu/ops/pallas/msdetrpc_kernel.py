@@ -40,6 +40,13 @@ beats "sparse + dynamic" on TPU even at 1/5 the arithmetic.
 Dead ends measured on v5e so future rounds need not retry them (the
 per-program cost is MXU op-ISSUE bound at ~40 us for the 4096-query level,
 not FLOP bound, and none of these changed that):
+  - _kernel_v3 (kept, non-default): wide bands — decompose t = hi*w + lo
+    with w up to 1024, cutting the per-band val dots 42 -> ~11.  Measured
+    -19% on the 4096-query level but +15-30% on the 1024/256-query levels
+    (the wider l_oh build wins only when amortized over many programs);
+    net ~zero across a full encoder layer.
+  - BLOCK_Q 256/512 (fewer, deeper programs): flat at the 4096-query level
+    (14.5 ms regardless) — per-program cost scales with work, not count.
   - 8-query block-diagonal packing (ch = hi*8 + qq) to deepen the batched
     dot's contraction from P=16 to 128: the grouped (G, 8, c) final dots
     unroll per leading dim in Mosaic — 60 ms vs v2's 40 ms.
@@ -127,6 +134,60 @@ def _kernel_v2(idx_ref, w_ref, val_ref, out_ref, *, level_sizes,
             acc = acc + jax.lax.dot_general(
                 w_mat[:, hi_idx, :],
                 val_ref[0, off + hi_idx * 128 : off + (hi_idx + 1) * 128, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        off += nj
+    out_ref[0] = acc
+
+
+def _level_band_width(nj: int) -> int:
+    """Widest lo-decomposition band (multiple of 128, <= 1024) dividing the
+    level: wider bands mean fewer, deeper per-band dots — the kernel is MXU
+    op-ISSUE bound, not FLOP bound, so k bands of width w at one issue each
+    beat 4k bands of width w/4."""
+    for w in (1024, 512, 256, 128):
+        if nj % w == 0 and nj >= w:
+            return w
+    return 128
+
+
+def _kernel_v3(idx_ref, w_ref, val_ref, out_ref, *, level_sizes,
+               pairs_per_level):
+    """v2 with wide bands: decompose t = hi*w + lo with w up to 1024 per
+    level (v2 fixed w=128).  The W construction stays two small one-hot
+    batched dots; the per-band val contraction becomes ~4-8x fewer issues
+    (42 -> ~11 for the (4096, 1024, 256) pixel-decoder levels)."""
+    bq = idx_ref.shape[1]
+    c_ = val_ref.shape[2]
+    p = pairs_per_level
+
+    acc = jnp.zeros((bq, c_), jnp.float32)
+    off = 0
+    for j, nj in enumerate(level_sizes):
+        width = _level_band_width(nj)
+        hi_n = nj // width
+        idx_j = idx_ref[0, :, j, :] - off                  # (BQ, P) local
+        w_j = w_ref[0, :, j, :]
+        hi = idx_j // width
+        lo = idx_j - hi * width
+        h_oh = (
+            hi[:, :, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (bq, p, hi_n), 2)
+        ).astype(jnp.float32)                              # (BQ, P, HI)
+        l_oh = jnp.where(
+            lo[:, :, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (bq, p, width), 2),
+            w_j[:, :, None], 0.0,
+        )                                                  # (BQ, P, W)
+        w_mat = jax.lax.dot_general(
+            h_oh, l_oh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                  # (BQ, HI, W)
+        for hi_idx in range(hi_n):
+            acc = acc + jax.lax.dot_general(
+                w_mat[:, hi_idx, :],
+                val_ref[0, off + hi_idx * width : off + (hi_idx + 1) * width, :],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -269,7 +330,7 @@ def msdetrpc_pallas_impl(nn_idx, nn_weight, attn, val,
     nqb = n_pad // BLOCK_Q
 
     kernel = functools.partial(
-        _kernel_v2 if version == 2 else _kernel,
+        {1: _kernel, 2: _kernel_v2, 3: _kernel_v3}[version],
         level_sizes=tuple(level_sizes), pairs_per_level=pairs,
     )
     common = dict(
