@@ -534,3 +534,128 @@ def test_criterion_downsample_matches_reference():
         assert abs(r - m) < 1e-4 * max(1.0, abs(r)), (
             f"{term}: reference {r:.6f} vs mine {m:.6f}"
         )
+
+
+# --------------------------------------------------------------------------
+# end-to-end: full reference chain (AFF -> pixel decoder -> mask decoder,
+# wired exactly as mask_former_head.py:114-117) vs the config-built MaskFormer
+# --------------------------------------------------------------------------
+
+def test_end_to_end_maskformer_parity():
+    """The converted-random-weights tier of the north star: one combined
+    state dict (backbone + sem_seg_head.{pixel_decoder,predictor}) converted
+    and loaded into the CONFIG-BUILT meta-arch must reproduce the reference
+    chain's pred_logits and rasterized pred_masks.  Catches inter-module
+    wiring (projection routing, canvas threading, pos rescaling) that the
+    per-module tests cannot."""
+    mods = _ref_modules()
+    from detectron2.layers import ShapeSpec  # stubbed
+
+    ncls, nq, hidden = 10, 20, 32
+
+    torch.manual_seed(0)
+    ref_bb = mods["aff"].AFF(
+        embed_dim=EMBED, depths=DEPTHS, num_heads=HEADS, nbhd_size=NBHD,
+        mlp_ratio=2.0, drop_path_rate=0.0, drop_rate=0.0, attn_drop_rate=0.0,
+    )
+    ref_pd = mods["pixel_decoder"].MSDeformAttnPixelDecoder(
+        input_shape={
+            f"res{i + 2}": ShapeSpec(channels=EMBED[i], stride=4 * 2**i)
+            for i in range(4)
+        },
+        transformer_dropout=0.0,
+        transformer_nheads=4,
+        transformer_dim_feedforward=1024,   # builder hardcodes 1024
+        transformer_enc_layers=2,
+        conv_dim=hidden,
+        mask_dim=hidden,
+        norm="",
+        transformer_in_features=["res3", "res4", "res5"],
+        common_stride=4,
+        shepard_power=3.0,                  # cfg AFF.SHEPARD_POWER 6 / 2
+        shepard_power_learnable=True,
+    )
+    ref_dec = mods["decoder"].MultiScaleMaskedTransformerDecoder(
+        in_channels=hidden, mask_classification=True, num_classes=ncls,
+        hidden_dim=hidden, num_queries=nq, nheads=4, dim_feedforward=64,
+        dec_layers=6, pre_norm=False, mask_dim=hidden,
+        enforce_input_project=False,
+    )
+    for m in (ref_bb, ref_pd, ref_dec):
+        m.eval()
+    # push mask logits away from the sigmoid(x) = 0.5 attention-mask
+    # threshold: at random init mask logits sit near 0, where fp drift flips
+    # threshold decisions and the comparison measures flips, not wiring
+    with torch.no_grad():
+        ref_dec.mask_embed.layers[-1].weight *= 3.0
+
+    from autofocusformermod_tpu.config import add_maskformer2_config, get_cfg
+    from autofocusformermod_tpu.models import maskformer_from_config
+
+    cfg = get_cfg()
+    add_maskformer2_config(cfg)
+    cfg.MODEL.PIXEL_MEAN = [0.0, 0.0, 0.0]
+    cfg.MODEL.PIXEL_STD = [1.0, 1.0, 1.0]
+    cfg.MODEL.AFF.EMBED_DIM = list(EMBED)
+    cfg.MODEL.AFF.DEPTHS = list(DEPTHS)
+    cfg.MODEL.AFF.NUM_HEADS = list(HEADS)
+    cfg.MODEL.AFF.NBHD_SIZE = list(NBHD)
+    cfg.MODEL.AFF.MLP_RATIO = 2.0
+    cfg.MODEL.AFF.DROP_PATH_RATE = 0.0
+    cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES = ncls
+    cfg.MODEL.SEM_SEG_HEAD.CONVS_DIM = hidden
+    cfg.MODEL.SEM_SEG_HEAD.MASK_DIM = hidden
+    cfg.MODEL.SEM_SEG_HEAD.TRANSFORMER_ENC_LAYERS = 2
+    cfg.MODEL.MASK_FORMER.HIDDEN_DIM = hidden
+    cfg.MODEL.MASK_FORMER.NUM_OBJECT_QUERIES = nq
+    cfg.MODEL.MASK_FORMER.NHEADS = 4
+    cfg.MODEL.MASK_FORMER.DIM_FEEDFORWARD = 64
+    cfg.MODEL.MASK_FORMER.DEC_LAYERS = 7            # ref dec_layers + 1
+    cfg.MODEL.MASK_FORMER.DROPOUT = 0.0
+    mine = maskformer_from_config(cfg, use_pallas=False)
+
+    x = np.random.default_rng(3).uniform(-1, 1, (1, 128, 128, 3)).astype(np.float32)
+    with jax.default_matmul_precision("highest"):
+        variables = mine.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+
+    sd = {}
+    sd.update({f"backbone.{k}": v.detach().numpy()
+               for k, v in ref_bb.state_dict().items()})
+    sd.update({f"sem_seg_head.pixel_decoder.{k}": v.detach().numpy()
+               for k, v in ref_pd.state_dict().items()})
+    sd.update({f"sem_seg_head.predictor.{k}": v.detach().numpy()
+               for k, v in ref_dec.state_dict().items()})
+    flat_p, flat_s = convert_reference_state_dict(sd)
+
+    params = traverse_util.flatten_dict(variables["params"])
+    missing = []
+    for k in list(params.keys()):
+        if k in flat_p:
+            assert params[k].shape == flat_p[k].shape, (
+                k, params[k].shape, flat_p[k].shape)
+            params[k] = jnp.asarray(flat_p[k])
+        else:
+            missing.append(k)
+    assert len(missing) <= 2, f"converter missed meta-arch tensors: {missing}"
+    stats = traverse_util.flatten_dict(variables["batch_stats"])
+    for k in list(stats.keys()):
+        if k in flat_s:
+            stats[k] = jnp.asarray(flat_s[k])
+    variables = {
+        "params": traverse_util.unflatten_dict(params),
+        "batch_stats": traverse_util.unflatten_dict(stats),
+    }
+
+    with torch.no_grad():
+        feats = ref_bb(torch.from_numpy(x).permute(0, 3, 1, 2))
+        mf, mf_pos, _, msf, poss = ref_pd.forward_features(feats)
+        r_out = ref_dec(msf, poss, mf, mf_pos)
+    with jax.default_matmul_precision("highest"):
+        m_out = mine.apply(variables, jnp.asarray(x), train=False)
+
+    for name in ("pred_logits", "pred_masks"):
+        r = r_out[name].numpy()
+        m = np.asarray(m_out[name])
+        assert r.shape == m.shape, (name, r.shape, m.shape)
+        err = np.abs(r - m).max() / (np.abs(r).max() + 1e-8)
+        assert err < 1e-2, f"{name} end-to-end rel err {err:.2e}"
