@@ -285,6 +285,7 @@ class MixResLayer(nn.Module):
     attn_drop: float = 0.0
     drop_path: Sequence[float] = ()
     layer_scale: float = 0.0
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, pos, feat, h, w, deterministic: bool = True,
@@ -318,15 +319,31 @@ class MixResLayer(nn.Module):
                 rank = pos_ranking[..., 0]
                 feat_s = _gather_by_idx(feat, rank)
             nc = knn(xy_s, centers, nnc)
-            member_idx, cluster_mask, rel_feat5 = _nbhd_from_clusters(
-                xy_s, nc, span, n
+            from ..ops.dispatch import fused_attention_available
+
+            # same gating as AFF BasicLayer: the fused block-sparse kernel
+            # needs contiguous cluster_size-token spans aligned to 128-blocks;
+            # rel-pos features are (x, y)-only here too, so the kernel's
+            # on-the-fly bias matches the gather path's rel_feat5 exactly
+            fused = (
+                self.use_pallas
+                and fused_attention_available()
+                and n % 128 == 0
+                and span > 0 and 128 % span == 0
             )
-            ctx = {
-                "fused": False,
-                "member_idx": member_idx,
-                "cluster_mask": cluster_mask,
-                "rel_feat5": rel_feat5,
-            }
+            if fused:
+                ctx = {"fused": True, "pos": xy_s, "nc": nc,
+                       "cluster_size": span}
+            else:
+                member_idx, cluster_mask, rel_feat5 = _nbhd_from_clusters(
+                    xy_s, nc, span, n
+                )
+                ctx = {
+                    "fused": False,
+                    "member_idx": member_idx,
+                    "cluster_mask": cluster_mask,
+                    "rel_feat5": rel_feat5,
+                }
 
         inv = None
         if rank is not None:
@@ -359,7 +376,7 @@ class MixResLayer(nn.Module):
                 attn_drop=self.attn_drop,
                 drop_path=self.drop_path[i] if len(self.drop_path) else 0.0,
                 layer_scale=self.layer_scale,
-                use_pallas=False,
+                use_pallas=self.use_pallas,
                 name=f"blocks_{i}",
             )(feat_s, ctx, global_attn, deterministic)
 
