@@ -77,6 +77,7 @@ class Trainer:
                 if cfg.MODEL.META_ARCHITECTURE == "MaskFormerML" else 0.0
             ),
             ml_min_patch_size=min(cfg.MODEL.MRML.PATCH_SIZES),
+            amp=cfg.SOLVER.AMP.ENABLED,
         )
 
         self.checkpointer = Checkpointer(os.path.join(cfg.OUTPUT_DIR, "checkpoints"))
@@ -295,6 +296,12 @@ class Trainer:
 
         @jax.jit
         def predict(variables, image):
+            from ..parallel.precision import amp_variables
+
+            variables = amp_variables(
+                variables,
+                enabled=getattr(self.model, "compute_dtype", None) == jnp.bfloat16,
+            )
             out = self.model.apply(variables, image[None], train=False)
             hh, ww = image.shape[:2]
             masks = upsample_masks(out["pred_masks"], (hh, ww))[0]
@@ -428,6 +435,12 @@ class Trainer:
 
         @jax.jit
         def predict(variables, image):
+            from ..parallel.precision import amp_variables
+
+            variables = amp_variables(
+                variables,
+                enabled=getattr(self.model, "compute_dtype", None) == jnp.bfloat16,
+            )
             out = self.model.apply(variables, image[None], train=False)
             h, w = image.shape[:2]
             masks = upsample_masks(out["pred_masks"], (h, w))[0]

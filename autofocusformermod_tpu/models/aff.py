@@ -101,10 +101,18 @@ class ClusterAttention(nn.Module):
             # parameter tree stays identical to the gather path
             b5 = pos_embed(jnp.zeros((1, 5)))[0]               # (h,)
             w5 = (pos_embed(jnp.eye(5)) - b5[None, :]).T       # (h, 5)
+            # the kernel is fp32-in/fp32-out (dots run at bf16 MXU precision
+            # internally); cast bf16 activations up at the boundary
+            dt = q.dtype
             feat_out, blank_prob = sfc_cluster_attention(
-                q, key, v, ctx["pos"], ctx["nc"], w5, b5,
-                blank_k.reshape(h, c_), ctx["cluster_size"],
+                q.astype(jnp.float32), key.astype(jnp.float32),
+                v.astype(jnp.float32), ctx["pos"], ctx["nc"],
+                w5.astype(jnp.float32), b5.astype(jnp.float32),
+                blank_k.reshape(h, c_).astype(jnp.float32),
+                ctx["cluster_size"],
             )
+            feat_out = feat_out.astype(dt)
+            blank_prob = blank_prob.astype(dt)
             feat = feat_out.transpose(0, 2, 1, 3).reshape(b, n, c)
             feat = feat + (blank_prob * blank_v.reshape(1, h, 1, c_)).transpose(
                 0, 2, 1, 3
@@ -113,7 +121,9 @@ class ClusterAttention(nn.Module):
             # learned rel-pos bias: Linear(5 -> heads) applied to the features
             # (replaces the reference's full-table forward + gather,
             # aff.py:126-132)
-            pos_bias = pos_embed(ctx["rel_feat5"])             # (b, n, m, h)
+            # rel_feat5 is fp32 geometry; cast the bias down so it cannot
+            # promote the bf16 attention path under mixed precision
+            pos_bias = pos_embed(ctx["rel_feat5"]).astype(feat.dtype)  # (b, n, m, h)
             blank_attn = jnp.einsum(
                 "bhnc,hc->bhn", q, blank_k.reshape(h, c_)
             )[..., None]  # (b, h, n, 1)
@@ -129,7 +139,7 @@ class ClusterAttention(nn.Module):
 
             attn = attn + pos_bias.transpose(0, 3, 1, 2)
             if mask is not None:
-                attn = attn + (1 - mask) * (-100.0)
+                attn = attn + ((1 - mask) * (-100.0)).astype(attn.dtype)
 
             attn = jnp.concatenate([attn, blank_attn], axis=-1)
             attn = jax.nn.softmax(attn, axis=-1)
@@ -271,7 +281,11 @@ class ClusterMerging(nn.Module):
         elif mask_k is not None:
             weights = weights * mask_k[..., None]
 
-        feat = cluster_wf(weights, feat, member_idx_k).reshape(b, keep_num, -1)
+        # weights carry fp32 geometry; cast down so the big gather-einsum and
+        # everything after it stay in the compute dtype under mixed precision
+        feat = cluster_wf(weights.astype(feat.dtype), feat, member_idx_k).reshape(
+            b, keep_num, -1
+        )
         feat = nn.LayerNorm(name="norm")(feat)
         feat = nn.Dense(self.out_dim, name="linear")(feat)
         return new_pos, feat

@@ -153,7 +153,7 @@ class ConvNeXtV2Stage(nn.Module):
             )
         x = grid.reshape(b, patched[0] * patched[1], self.d_model)
         if self.first_layer:
-            x = x + position_embedding_sine(pos[:, :, 1:], self.d_model // 2)
+            x = x + position_embedding_sine(pos[:, :, 1:], self.d_model // 2).astype(x.dtype)
         x = nn.LayerNorm(name="norm")(x)
 
         outs = {

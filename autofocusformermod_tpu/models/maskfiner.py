@@ -14,7 +14,7 @@ is a static slice here.
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -95,7 +95,7 @@ class MSDeformAttnPixelDecoderMaskFiner(nn.Module):
         srcs, poss, scaless, fixed_poss, pos_embed, nb_packed = [], [], [], [], [], []
         # coarse -> fine (reversed feature names: res5 first)
         for idx, f in enumerate(self.transformer_in_features[::-1]):
-            x = features[f].astype(jnp.float32)
+            x = features[f]                       # compute dtype (bf16 under AMP)
             pos = features[f + "_pos"].astype(jnp.float32)
             ss = features[f + "_spatial_shape"]
             xp = nn.Dense(self.conv_dim, name=f"input_proj_{idx}_dense")(x)
@@ -105,7 +105,9 @@ class MSDeformAttnPixelDecoderMaskFiner(nn.Module):
             scaless.append(features[f + "_scale"].astype(jnp.float32))
             fixed = fix_pos_no_bias(pos, ss, min_ss)
             fixed_poss.append(fixed)
-            pos_embed.append(position_embedding_sine(fixed, self.conv_dim // 2))
+            pos_embed.append(
+                position_embedding_sine(fixed, self.conv_dim // 2).astype(xp.dtype)
+            )
             nb_packed.append(pack_neighbor_table(knn(grid_pos, fixed, 4), fixed))
 
         level_embed = self.param(
@@ -134,7 +136,7 @@ class MSDeformAttnPixelDecoderMaskFiner(nn.Module):
         # extra FPN levels (only the last cascade stage has any)
         num_fpn = len(self.in_features) - len(self.transformer_in_features)
         for idx, f in enumerate(self.in_features[:num_fpn][::-1]):
-            x = features[f].astype(jnp.float32)
+            x = features[f]
             pos = features[f + "_pos"].astype(jnp.float32)
             ss = features[f + "_spatial_shape"]
             poss.append(pos)
@@ -151,12 +153,12 @@ class MSDeformAttnPixelDecoderMaskFiner(nn.Module):
                 )
                 y = cur_fpn + upsample_feature_shepard(
                     grid_pos, fixed_poss[-1], out[-1]
-                )
+                ).astype(cur_fpn.dtype)
                 fixed = grid_pos
             else:
                 y = cur_fpn + upsample_feature_shepard(
                     fixed, fixed_poss[-1], out[-1]
-                )
+                ).astype(cur_fpn.dtype)
             y = PointConv(self.conv_dim, name=f"layer_{idx + 1}_pointconv")(y, fixed)
             y = nn.LayerNorm(name=f"layer_{idx + 1}_norm")(y)
             y = nn.leaky_relu(y) if self.activation == "lrelu" else nn.relu(y)
@@ -358,7 +360,7 @@ class MultiScaleMaskFinerTransformerDecoder(nn.Module):
             )
             mask_features = mask_features + position_embedding_sine(
                 finest_pos, self.mask_dim // 2
-            )
+            ).astype(mask_features.dtype)
             grid_lut = jnp.broadcast_to(
                 jnp.arange(finest_pos.shape[1], dtype=jnp.int32)[None],
                 (b, finest_pos.shape[1]),
@@ -373,7 +375,11 @@ class MultiScaleMaskFinerTransformerDecoder(nn.Module):
 
         src, pos_emb = [], []
         for i in range(nl):
-            pos_emb.append(position_embedding_sine(poss_scaled[i], self.hidden_dim // 2))
+            pos_emb.append(
+                position_embedding_sine(poss_scaled[i], self.hidden_dim // 2).astype(
+                    x[i].dtype
+                )
+            )
             s = x[i]
             if self.in_channels != self.hidden_dim or self.enforce_input_project:
                 s = nn.Dense(self.hidden_dim, name=f"input_proj_{i}")(s)
@@ -565,6 +571,8 @@ class MaskFiner(nn.Module):
     mask_predictors: Sequence[MaskPredictor]
     pixel_mean: Sequence[float] = (123.675, 116.28, 103.53)
     pixel_std: Sequence[float] = (58.395, 57.12, 57.375)
+    # bf16 under SOLVER.AMP.ENABLED; pair with precision.amp_variables
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False,
@@ -575,6 +583,7 @@ class MaskFiner(nn.Module):
         x = (images - jnp.asarray(self.pixel_mean, images.dtype)) / jnp.asarray(
             self.pixel_std, images.dtype
         )
+        x = x.astype(self.compute_dtype)
         features = None
         features_pos = None
         upsampling_mask = None
@@ -590,13 +599,18 @@ class MaskFiner(nn.Module):
             tokens_per_scale = seg_sizes
             disagreements.append(upsampling_mask)
             aux = aux + tuple(outs["aux_outputs"])
-        return {
+        ret = {
             "pred_logits": outs["pred_logits"],
             "pred_masks": outs["pred_masks"],
             "aux_outputs": aux,
             "disagreement_masks": tuple(disagreements),
             "features_pos": features_pos,
         }
+        if self.compute_dtype != jnp.float32:
+            from ..parallel.precision import f32_outputs
+
+            ret = f32_outputs(ret)
+        return ret
 
 
 def maskfiner_dynamic_eval(
@@ -848,4 +862,5 @@ def maskfiner_from_config(cfg) -> MaskFiner:
         mask_predictors=tuple(predictors),
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+        compute_dtype=jnp.bfloat16 if cfg.SOLVER.AMP.ENABLED else jnp.float32,
     )

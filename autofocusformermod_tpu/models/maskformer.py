@@ -51,6 +51,10 @@ class MaskFormer(nn.Module):
     head: MaskFormerHead
     pixel_mean: Sequence[float] = (123.675, 116.28, 103.53)
     pixel_std: Sequence[float] = (58.395, 57.12, 57.375)
+    # bf16 under SOLVER.AMP.ENABLED (the reference's torch.cuda.amp,
+    # train_net.py); pair with parallel.precision.amp_variables so params
+    # arrive bf16 too — fp32 params would promote everything back.
+    compute_dtype: Any = jnp.float32
 
     def normalize(self, images: jnp.ndarray) -> jnp.ndarray:
         """images: (b, H, W, 3) raw RGB (uint8 or float) -> normalized f32.
@@ -62,9 +66,15 @@ class MaskFormer(nn.Module):
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> Dict:
-        x = self.normalize(images)
+        x = self.normalize(images).astype(self.compute_dtype)
         features = self.backbone(x, train=train)
-        return self.head(features, deterministic=not train)
+        out = self.head(features, deterministic=not train)
+        if self.compute_dtype != jnp.float32:
+            # losses/matching/inference are fp32 islands
+            from ..parallel.precision import f32_outputs
+
+            out = f32_outputs(out)
+        return out
 
 
 def maskformer_from_config(cfg, use_pallas: Optional[bool] = None) -> MaskFormer:
@@ -103,6 +113,7 @@ def maskformer_from_config(cfg, use_pallas: Optional[bool] = None) -> MaskFormer
         head=head,
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+        compute_dtype=jnp.bfloat16 if cfg.SOLVER.AMP.ENABLED else jnp.float32,
     )
 
 

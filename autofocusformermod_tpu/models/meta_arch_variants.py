@@ -14,7 +14,7 @@
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -79,6 +79,7 @@ class MaskFinerOracleTeacher(nn.Module):
     ignore_label: int = 255
     pixel_mean: Sequence[float] = (123.675, 116.28, 103.53)
     pixel_std: Sequence[float] = (58.395, 57.12, 57.375)
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, images, sem_seg_gt=None, train: bool = False) -> Dict:
@@ -86,6 +87,7 @@ class MaskFinerOracleTeacher(nn.Module):
         x = (images - jnp.asarray(self.pixel_mean, images.dtype)) / jnp.asarray(
             self.pixel_std, images.dtype
         )
+        x = x.astype(self.compute_dtype)
         edges = (
             gt_edge_map(sem_seg_gt, self.ignore_label)
             if sem_seg_gt is not None
@@ -114,13 +116,18 @@ class MaskFinerOracleTeacher(nn.Module):
                     upsampling_mask = mix_teacher_mask(
                         key, upsampling_mask, oracle, self.oracle_teacher_ratio
                     )
-        return {
+        ret = {
             "pred_logits": outs["pred_logits"],
             "pred_masks": outs["pred_masks"],
             "aux_outputs": aux,
             "upsampling_preds": tuple(preds),
             "upsampling_oracles": tuple(oracles),
         }
+        if self.compute_dtype != jnp.float32:
+            from ..parallel.precision import f32_outputs
+
+            ret = f32_outputs(ret)
+        return ret
 
 
 def maskfiner_oracle_teacher_from_config(cfg) -> MaskFinerOracleTeacher:
@@ -134,6 +141,7 @@ def maskfiner_oracle_teacher_from_config(cfg) -> MaskFinerOracleTeacher:
         ignore_label=cfg.MODEL.MR_SEM_SEG_HEAD.IGNORE_VALUE,
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+        compute_dtype=jnp.bfloat16 if cfg.SOLVER.AMP.ENABLED else jnp.float32,
     )
 
 
@@ -162,6 +170,7 @@ class MaskFinerOracleTeacherBB(nn.Module):
     n_scales: int = 4
     pixel_mean: Sequence[float] = (123.675, 116.28, 103.53)
     pixel_std: Sequence[float] = (58.395, 57.12, 57.375)
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, images, sem_seg_gt=None, train: bool = False) -> Dict:
@@ -169,6 +178,7 @@ class MaskFinerOracleTeacherBB(nn.Module):
         x = (images - jnp.asarray(self.pixel_mean, images.dtype)) / jnp.asarray(
             self.pixel_std, images.dtype
         )
+        x = x.astype(self.compute_dtype)
         feats = self.backbone(x, sem_seg_gt, train=train)
         (mask_features, mf_pos, ms_feats, ms_poss, ms_scales, finest,
          input_shapes) = self.pixel_decoder(feats, deterministic=not train)
@@ -183,13 +193,18 @@ class MaskFinerOracleTeacherBB(nn.Module):
             if sem_seg_gt is not None
             else ()
         )
-        return {
+        ret = {
             "pred_logits": predictions["pred_logits"],
             "pred_masks": predictions["pred_masks"],
             "aux_outputs": tuple(predictions["aux_outputs"]),
             "upsampling_preds": preds,
             "upsampling_oracles": oracles,
         }
+        if self.compute_dtype != jnp.float32:
+            from ..parallel.precision import f32_outputs
+
+            ret = f32_outputs(ret)
+        return ret
 
 
 def maskfiner_oracle_teacher_bb_from_config(cfg) -> MaskFinerOracleTeacherBB:
@@ -211,4 +226,5 @@ def maskfiner_oracle_teacher_bb_from_config(cfg) -> MaskFinerOracleTeacherBB:
         n_scales=n_scales,
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+        compute_dtype=jnp.bfloat16 if cfg.SOLVER.AMP.ENABLED else jnp.float32,
     )

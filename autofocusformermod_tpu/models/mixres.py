@@ -224,7 +224,7 @@ class MixResViT(nn.Module):
                 H, W, ps, self.min_patch_size, self.scale
             )
             pos = jnp.broadcast_to(jnp.asarray(pos_np)[None], (b, pos_np.shape[0], 3))
-            x = x + position_embedding_sine(pos[:, :, 1:], self.d_model // 2)
+            x = x + position_embedding_sine(pos[:, :, 1:], self.d_model // 2).astype(x.dtype)
             tokens_per_scale = (pos_np.shape[0],)
         else:
             x = nn.LayerNorm(name="token_norm")(features)
@@ -470,7 +470,7 @@ class MixResNeighbour(nn.Module):
                 H, W, ps, self.min_patch_size, self.scale
             )
             pos = jnp.broadcast_to(jnp.asarray(pos_np)[None], (b, pos_np.shape[0], 3))
-            x = x + position_embedding_sine(pos[:, :, 1:], self.d_model // 2)
+            x = x + position_embedding_sine(pos[:, :, 1:], self.d_model // 2).astype(x.dtype)
             tokens_per_scale = (pos_np.shape[0],)
         elif self.do_upsample:
             old_scale = self.scale - 1
@@ -541,7 +541,7 @@ class MixResNeighbour(nn.Module):
                 img_feat = self._image_patch_features(pos[:, -n_new:, 1:], im)
                 img_feat = img_feat + position_embedding_sine(
                     pos[:, -n_new:, 1:], self.d_model // 2
-                )
+                ).astype(img_feat.dtype)
                 xattn_ctx = {"n_new": n_new, "img_feat": img_feat}
         else:
             x = nn.LayerNorm(name="token_norm")(features)

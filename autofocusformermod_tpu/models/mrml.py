@@ -18,7 +18,7 @@ Same static scale-segment layout as models/mixres.py.
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -65,7 +65,7 @@ class MixResMetaLoss(nn.Module):
         x = OverlapPatchEmbedding(ps, self.embed_dims[0], name="patch_embed")(im, train)
         pos_np = get_2dpos_of_curr_ps_in_min_ps(H, W, ps, min_ps, 0)
         pos = jnp.broadcast_to(jnp.asarray(pos_np)[None], (b, pos_np.shape[0], 3))
-        x = x + position_embedding_sine(pos[:, :, 1:], self.embed_dims[0] // 2)
+        x = x + position_embedding_sine(pos[:, :, 1:], self.embed_dims[0] // 2).astype(x.dtype)
         tokens_per_scale: Tuple[int, ...] = (pos_np.shape[0],)
 
         outs: Dict = {"min_spatial_shape": min_patched}
@@ -196,6 +196,7 @@ class MaskFormerML(nn.Module):
     head: nn.Module
     pixel_mean: Sequence[float] = (123.675, 116.28, 103.53)
     pixel_std: Sequence[float] = (58.395, 57.12, 57.375)
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> Dict:
@@ -203,11 +204,16 @@ class MaskFormerML(nn.Module):
         x = (images - jnp.asarray(self.pixel_mean, images.dtype)) / jnp.asarray(
             self.pixel_std, images.dtype
         )
+        x = x.astype(self.compute_dtype)
         feats = self.backbone(x, train)
         out = self.head(feats, deterministic=not train)
         n = self.backbone.n_scales - 1
         out["metaloss_preds"] = tuple(feats[f"metaloss{i}"] for i in range(n))
         out["metaloss_pos"] = tuple(feats[f"metaloss{i}_pos"] for i in range(n))
+        if self.compute_dtype != jnp.float32:
+            from ..parallel.precision import f32_outputs
+
+            out = f32_outputs(out)
         return out
 
 
@@ -295,6 +301,7 @@ def maskformer_ml_from_config(cfg) -> MaskFormerML:
         head=head,
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+        compute_dtype=jnp.bfloat16 if cfg.SOLVER.AMP.ENABLED else jnp.float32,
     )
 
 

@@ -55,13 +55,18 @@ def _msdetrpc_dispatch(nn_idxs, nn_weights, attn_i, values_all, level_sizes):
         bh, n_i = nn_idxs.shape[:2]
         return jnp.zeros((bh, n_i, values_all.shape[-1]),
                          values_all.dtype) + attn_i.sum() * 0.0
+    dt = values_all.dtype
     if fused_attention_available() and msdetrpc_pallas_supported(
         nn_idxs, values_all, len(level_sizes), level_sizes
     ):
+        # kernel contract is fp32 refs (dots run at bf16 MXU precision inside)
         return msdetrpc_pallas(
-            nn_idxs, nn_weights, attn_i, values_all, level_sizes
-        )
-    return msdetrpc(nn_idxs, nn_weights, attn_i, values_all)
+            nn_idxs, nn_weights.astype(jnp.float32), attn_i.astype(jnp.float32),
+            values_all.astype(jnp.float32), level_sizes
+        ).astype(dt)
+    # XLA path: shepard weights arrive fp32 (geometry); cast down so the
+    # contraction and its output stay in the compute dtype
+    return msdetrpc(nn_idxs, nn_weights.astype(dt), attn_i.astype(dt), values_all)
 
 
 def scale_pos(pos: jnp.ndarray, last_ss, cur_ss, no_bias: bool = False) -> jnp.ndarray:
@@ -101,7 +106,7 @@ class PointConv(nn.Module):
         # fractional after rescaling — it truncates via .long(); match that
         rel = jnp.trunc(rel)
         weights = WeightNet(self.inner_ch, name="weight_net")(rel_pos_features(rel))
-        feat = cluster_wf(weights, x, nn_idx).reshape(b, n, -1)
+        feat = cluster_wf(weights.astype(x.dtype), x, nn_idx).reshape(b, n, -1)
         feat = nn.LayerNorm(name="norm")(feat)
         return nn.Dense(self.out_dim, name="linear")(feat)
 
@@ -319,14 +324,18 @@ class MSDeformAttnPixelDecoder(nn.Module):
         srcs, poss, pos_embed, spatial_shapes, nb_idx = [], [], [], [], []
         # low -> high resolution (res5, res4, res3)
         for idx, f in enumerate(self.transformer_in_features[::-1]):
-            x = features[f].astype(jnp.float32)
+            x = features[f]                       # compute dtype (bf16 under AMP)
             pos = features[f + "_pos"].astype(jnp.float32)
             ss = features[f + "_spatial_shape"]
             xp = nn.Dense(self.conv_dim, name=f"input_proj_{idx}_dense")(x)
             xp = nn.LayerNorm(name=f"input_proj_{idx}_norm")(xp)
             srcs.append(xp)
             poss.append(pos)
-            pos_embed.append(position_embedding_sine(pos, self.conv_dim // 2))
+            # sine embedding is fp32 geometry; cast down so with_pe cannot
+            # promote the compute path under mixed precision
+            pos_embed.append(
+                position_embedding_sine(pos, self.conv_dim // 2).astype(xp.dtype)
+            )
             spatial_shapes.append(ss)
             scaled = scale_pos(pos, ss, grid_hw, no_bias=True)
             if ABLATE_KNN:
@@ -371,13 +380,15 @@ class MSDeformAttnPixelDecoder(nn.Module):
         out = list(out)
         fpn_poss = []
         for idx, f in enumerate(self.in_features[:num_fpn_levels][::-1]):
-            x = features[f].astype(jnp.float32)
+            x = features[f]
             pos = features[f + "_pos"].astype(jnp.float32)
             ss = features[f + "_spatial_shape"]
             cur_fpn = nn.Dense(self.conv_dim, name=f"adapter_{idx + 1}_dense")(x)
             cur_fpn = nn.LayerNorm(name=f"adapter_{idx + 1}_norm")(cur_fpn)
             last_pos = scale_pos(last_pos, last_ss, ss, no_bias=True)
-            y = cur_fpn + upsample_feature_shepard(pos, last_pos, out[-1])
+            y = cur_fpn + upsample_feature_shepard(pos, last_pos, out[-1]).astype(
+                cur_fpn.dtype
+            )
             y = PointConv(self.conv_dim, name=f"layer_{idx + 1}_pointconv")(y, pos, ss)
             y = nn.LayerNorm(name=f"layer_{idx + 1}_norm")(y)
             y = nn.relu(y)

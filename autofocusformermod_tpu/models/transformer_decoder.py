@@ -219,7 +219,13 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
 
         src, pos_emb = [], []
         for i in range(self.num_feature_levels):
-            pos_emb.append(position_embedding_sine(pos[i], self.hidden_dim // 2))
+            # sine embedding is fp32 geometry; cast down so the additions in
+            # the attention layers keep the compute dtype under mixed precision
+            pos_emb.append(
+                position_embedding_sine(pos[i], self.hidden_dim // 2).astype(
+                    x[i].dtype
+                )
+            )
             s = x[i] if self.input_proj[i] is None else self.input_proj[i](x[i])
             src.append(s + self.level_embed.embedding[i][None, None, :])
 

@@ -19,6 +19,7 @@ from flax.core import FrozenDict
 
 from ..losses.criterion import set_criterion
 from ..models.oracle import upsampling_mse_loss
+from .precision import amp_variables, f32_outputs
 
 
 class TrainState(struct.PyTreeNode):
@@ -72,6 +73,7 @@ def make_train_step(
     metaloss_weight: float = 0.0,
     ml_min_patch_size: int = 4,
     donate: bool = True,
+    amp: bool = False,
 ) -> Callable:
     """Returns train_step(state, batch, key) -> (state, metrics).
 
@@ -82,8 +84,14 @@ def make_train_step(
 
     def loss_fn(params, batch_stats, batch, key):
         k_drop, k_crit = jax.random.split(key)
+        # amp: fp32 master params cast to bf16 for the forward (grads arrive
+        # fp32 through the cast); the meta-arch returns fp32 outputs, and
+        # mutated batch_stats are restored to fp32 for the train state
+        variables = amp_variables(
+            {"params": params, "batch_stats": batch_stats}, enabled=amp
+        )
         outputs, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
+            variables,
             _device_image(batch),
             train=True,
             mutable=["batch_stats"],
@@ -113,7 +121,10 @@ def make_train_step(
             )
             losses["meta_loss"] = ml
             total = total + metaloss_weight * ml
-        return total, (losses, mutated.get("batch_stats", batch_stats))
+        new_bs = mutated.get("batch_stats", batch_stats)
+        if amp:
+            new_bs = f32_outputs(new_bs)
+        return total, (losses, new_bs)
 
     def train_step(state: TrainState, batch, key) -> Tuple[TrainState, Dict]:
         (total, (losses, new_bs)), grads = jax.value_and_grad(
@@ -149,6 +160,7 @@ def make_maskfiner_train_step(
     oversample_ratio: float = 3.0,
     importance_sample_ratio: float = 0.75,
     donate: bool = True,
+    amp: bool = False,
 ) -> Callable:
     """Train step for the MaskFiner family: deep-supervision criterion across
     all cascade stages plus (for oracle-teacher models) the upsampling-mask
@@ -162,6 +174,7 @@ def make_maskfiner_train_step(
         variables = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
+        variables = amp_variables(variables, enabled=amp)
         args = (_device_image(batch),)
         rngs = {"dropout": k_drop, "oracle": k_oracle}
         if needs_sem_seg_gt:
@@ -188,6 +201,8 @@ def make_maskfiner_train_step(
             losses["loss_upsampling"] = l_up
             total = total + upsampling_weight * l_up
         bs = mutated.get("batch_stats", batch_stats)
+        if amp:
+            bs = f32_outputs(bs)
         return total, (losses, bs)
 
     def train_step(state: TrainState, batch, key) -> Tuple[TrainState, Dict]:

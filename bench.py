@@ -33,12 +33,18 @@ def _bench_infer(cfg, batch, iters, warmup, size=512):
         upsample_masks,
     )
 
+    if os.environ.get("BENCH_AMP", "1") not in ("0", "false"):
+        cfg.SOLVER.AMP.ENABLED = True
     model = maskformer_from_config(cfg)
     x = jnp.asarray(
         np.random.default_rng(0).uniform(0, 255, (batch, size, size, 3)),
         jnp.float32,
     )
     variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x[:1], train=False))()
+    if cfg.SOLVER.AMP.ENABLED:
+        from autofocusformermod_tpu.parallel.precision import amp_variables
+
+        variables = jax.jit(lambda v: amp_variables(v))(dict(variables))
 
     @jax.jit
     def infer(variables, x, salt):
@@ -66,6 +72,9 @@ def _bench_train_step(cfg, batch, iters, warmup, size=512):
     import jax
     import jax.numpy as jnp
 
+    if os.environ.get("BENCH_AMP", "1") not in ("0", "false"):
+        cfg.SOLVER.AMP.ENABLED = True
+
     from autofocusformermod_tpu.engine.optimizer import build_optimizer
     from autofocusformermod_tpu.models import maskformer_from_config
     from autofocusformermod_tpu.parallel import TrainState, make_train_step
@@ -87,7 +96,8 @@ def _bench_train_step(cfg, batch, iters, warmup, size=512):
     tx = build_optimizer(cfg, variables["params"])
     state = TrainState.create(variables["params"], variables.get("batch_stats", {}), tx)
     step_fn = make_train_step(
-        model, cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES, num_points=12544, donate=False
+        model, cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES, num_points=12544, donate=False,
+        amp=cfg.SOLVER.AMP.ENABLED,
     )
 
     def run(n, state):
@@ -171,11 +181,21 @@ def main():
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
 
     cfg = _flagship_cfg()
+    # bf16 inference by default (BENCH_AMP=0 for the fp32 path): fp32 params
+    # cast once up front, compute path bf16, losses/inference fp32 — the
+    # parity budget is pinned by tests/test_amp.py
+    amp = os.environ.get("BENCH_AMP", "1") not in ("0", "false")
+    if amp:
+        cfg.SOLVER.AMP.ENABLED = True
     model = maskformer_from_config(cfg)
     x = jnp.asarray(
         np.random.default_rng(0).uniform(0, 255, (batch, 512, 512, 3)), jnp.float32
     )
     variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x[:1], train=False))()
+    if amp:
+        from autofocusformermod_tpu.parallel.precision import amp_variables
+
+        variables = jax.jit(lambda v: amp_variables(v))(dict(variables))
 
     @jax.jit
     def infer(variables, x, salt):

@@ -1,0 +1,165 @@
+"""bf16 mixed-precision parity budget (SOLVER.AMP.ENABLED).
+
+The policy (parallel/precision.py): fp32 master params cast to bf16 at apply,
+bf16 compute path, fp32 geometry/criterion islands.  These tests pin
+(1) the compute path actually IS bf16 (no silent fp32 promotion leaks),
+(2) outputs stay within a bf16-roundoff budget of the fp32 path,
+(3) the amp train step runs, keeps fp32 master state, and descends.
+
+Reference analogue: torch.cuda.amp autocast under SOLVER.AMP.ENABLED
+(reference train_net.py).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from test_maskformer import tiny_cfg
+from test_train_step import _tiny_batch
+
+from autofocusformermod_tpu.models import maskformer_from_config
+from autofocusformermod_tpu.parallel import TrainState, make_train_step
+from autofocusformermod_tpu.parallel.precision import amp_variables, f32_outputs
+from autofocusformermod_tpu.engine.optimizer import build_optimizer
+
+
+@pytest.fixture(scope="module")
+def fp32_and_amp():
+    cfg = tiny_cfg()
+    model32 = maskformer_from_config(cfg)
+    cfg16 = cfg.clone()
+    cfg16.SOLVER.AMP.ENABLED = True
+    model16 = maskformer_from_config(cfg16)
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 255, (2, 64, 64, 3)), jnp.float32
+    )
+    variables = model32.init(jax.random.PRNGKey(0), x, train=False)
+    out32 = model32.apply(variables, x, train=False)
+    out16 = model16.apply(amp_variables(dict(variables)), x, train=False)
+    return cfg, model32, model16, variables, x, out32, out16
+
+
+def test_compute_dtype_is_bf16(fp32_and_amp):
+    """The backbone/head features must actually run bf16 — a promotion leak
+    (fp32 constant added to the feature path) silently reverts the policy."""
+    _, _, model16, variables, x, _, _ = fp32_and_amp
+    _, inter = model16.apply(
+        amp_variables(dict(variables)), x, train=False, capture_intermediates=True
+    )
+    feats = inter["intermediates"]["backbone"]["__call__"][0]
+    for k in ("res2", "res3", "res4", "res5"):
+        assert feats[k].dtype == jnp.bfloat16, k
+        assert feats[k + "_pos"].dtype == jnp.float32, k  # geometry island
+    pd = inter["intermediates"]["head"]["pixel_decoder"]
+    assert pd["mask_features"]["__call__"][0].dtype == jnp.bfloat16
+    dec = inter["intermediates"]["head"]["predictor"]
+    assert dec["decoder_norm"]["__call__"][0].dtype == jnp.bfloat16
+
+
+def test_outputs_fp32_within_budget(fp32_and_amp):
+    """Elementwise parity is pinned tight UP TO the first discrete decision.
+
+    The AFF downsampler keeps the top-k tokens by a learned score; bf16
+    roundoff flips near-tied scores, so a random-init model selects a
+    (marginally) different token subset from stage 2 on and elementwise
+    comparison downstream is chance-dominated — the same property the
+    reference has under its fp16 autocast (train_net.py AMP), where trained
+    models certify parity at the task-metric level (TEST.EXPECTED_RESULTS),
+    not elementwise.  So: stage-1 features and the pre-decoder logits get a
+    tight budget; the end-to-end outputs get dtype + sanity pins only.
+    """
+    _, model32, model16, variables, x, out32, out16 = fp32_and_amp
+    assert out16["pred_logits"].dtype == jnp.float32
+    assert out16["pred_masks"].dtype == jnp.float32
+
+    _, i32 = model32.apply(variables, x, train=False, capture_intermediates=True)
+    _, i16 = model16.apply(
+        amp_variables(dict(variables)), x, train=False, capture_intermediates=True
+    )
+    a = np.asarray(i32["intermediates"]["backbone"]["__call__"][0]["res2"], np.float64)
+    b = np.asarray(i16["intermediates"]["backbone"]["__call__"][0]["res2"], np.float64)
+    scale = np.std(a) + 1e-6
+    assert np.max(np.abs(a - b)) / scale < 0.10   # pre-selection: pure roundoff
+    assert np.mean(np.abs(a - b)) / scale < 0.01
+
+    a = np.asarray(out32["aux_outputs"][0]["pred_logits"], np.float64)
+    b = np.asarray(out16["aux_outputs"][0]["pred_logits"], np.float64)
+    scale = np.std(a) + 1e-6
+    assert np.max(np.abs(a - b)) / scale < 0.10
+
+    # end-to-end sanity: same scale, finite, correlated
+    a = np.asarray(out32["pred_logits"], np.float64)
+    b = np.asarray(out16["pred_logits"], np.float64)
+    assert np.all(np.isfinite(b))
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.9, corr
+
+
+def test_amp_variables_roundtrip():
+    tree = {"a": jnp.ones((3,), jnp.float32), "b": jnp.ones((2,), jnp.int32)}
+    ct = amp_variables({"params": tree})["params"]
+    assert ct["a"].dtype == jnp.bfloat16 and ct["b"].dtype == jnp.int32
+    back = f32_outputs(ct)
+    assert back["a"].dtype == jnp.float32 and back["b"].dtype == jnp.int32
+
+
+def test_amp_train_step_descends():
+    """amp train step: fp32 master params/opt-state/batch_stats preserved,
+    finite loss, and one-batch overfitting still descends."""
+    cfg = tiny_cfg()
+    cfg.SOLVER.AMP.ENABLED = True
+    cfg.SOLVER.BASE_LR = 1e-3
+    cfg.SOLVER.MAX_ITER = 100
+    model = maskformer_from_config(cfg)
+    batch = _tiny_batch(nc=cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES)
+    variables = model.init(jax.random.PRNGKey(0), batch["image"], train=False)
+    tx = build_optimizer(cfg, variables["params"])
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    step_fn = make_train_step(
+        model, cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
+        num_points=64, donate=False, amp=True,
+    )
+    key = jax.random.PRNGKey(42)
+    losses = []
+    for i in range(8):
+        state, metrics = step_fn(state, batch, key)
+        losses.append(float(metrics["total_loss"]))
+        assert np.isfinite(losses[-1])
+    # master state stays fp32
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert leaf.dtype != jnp.bfloat16
+    for leaf in jax.tree_util.tree_leaves(state.batch_stats):
+        assert leaf.dtype != jnp.bfloat16
+    assert min(losses[-3:]) < losses[0], losses
+
+
+def test_maskfiner_amp_forward():
+    """The MaskFiner cascade under AMP: bf16 stage threading, fp32 outputs."""
+    from test_maskfiner import tiny_maskfiner_cfg
+    from autofocusformermod_tpu.models.maskfiner import maskfiner_from_config
+
+    cfg = tiny_maskfiner_cfg()
+    cfg.SOLVER.AMP.ENABLED = True
+    model = maskfiner_from_config(cfg)
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 255, (2, 64, 64, 3)), jnp.float32
+    )
+    vs = model.init(jax.random.PRNGKey(0), x, train=False)
+    out, inter = model.apply(
+        amp_variables(dict(vs)), x, train=False, capture_intermediates=True
+    )
+    assert out["pred_logits"].dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(out["pred_logits"])))
+    # the stage-0 backbone feature path actually runs bf16
+    # MixRes stage __call__ returns (outs, tokens_per_scale)
+    bb = inter["intermediates"]["mask_predictors_0"]["backbone"]["__call__"][0][0]
+    feat_keys = [k for k in bb if not k.endswith(("_pos", "_scale", "_spatial_shape"))
+                 and hasattr(bb[k], "dtype")]
+    assert feat_keys
+    for k in feat_keys:
+        assert bb[k].dtype == jnp.bfloat16, k
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])
