@@ -195,6 +195,160 @@ def _kernel_v3(idx_ref, w_ref, val_ref, out_ref, *, level_sizes,
     out_ref[0] = acc
 
 
+def _kernel_v4(idx_ref, w_ref, val_ref, out_ref, *, level_sizes,
+               pairs_per_level):
+    """v2/v3 with bf16 one-hot operands.
+
+    The unrolled per-query batched dot is operand-TRAFFIC bound, not
+    MXU-issue bound (measured: fusing the 3 levels into one dot per query
+    cuts issues 3x and ties v2 exactly; block-diagonal packing inflates
+    operands with zeros and is 1.5x slower) — so halving the operand bytes
+    with bf16 one-hots is the lever the issue-count experiments missed.
+    Weights fold into the lo one-hot in bf16 (<=0.4% rel, inside the 2%
+    Pallas parity budget); accumulation stays fp32 via
+    preferred_element_type.  Band width follows _level_band_width (v3)."""
+    bq = idx_ref.shape[1]
+    c_ = val_ref.shape[2]
+    p = pairs_per_level
+
+    acc = jnp.zeros((bq, c_), jnp.float32)
+    off = 0
+    for j, nj in enumerate(level_sizes):
+        width = _level_band_width(nj)
+        hi_n = nj // width
+        idx_j = idx_ref[0, :, j, :] - off                  # (BQ, P) local
+        w_j = w_ref[0, :, j, :]
+        hi = idx_j // width
+        lo = idx_j - hi * width
+        h_oh = (
+            hi[:, :, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (bq, p, hi_n), 2)
+        ).astype(jnp.bfloat16)                             # (BQ, P, HI)
+        l_oh = (
+            lo[:, :, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (bq, p, width), 2)
+        ).astype(jnp.bfloat16) * w_j[:, :, None].astype(jnp.bfloat16)
+        w_mat = jax.lax.dot_general(
+            h_oh, l_oh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,            # Mosaic: acc is 32-bit
+        ).astype(jnp.bfloat16)                             # (BQ, HI, W)
+        for hi_idx in range(hi_n):
+            acc = acc + jax.lax.dot_general(
+                w_mat[:, hi_idx, :],
+                val_ref[0, off + hi_idx * width : off + (hi_idx + 1) * width, :]
+                .astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        off += nj
+    out_ref[0] = acc
+
+
+_WINDOW_BANDS = 8
+
+
+def _kernel_v5(idx_ref, w_ref, val_ref, out_ref, acc_ref, *, level_sizes,
+               pairs_per_level):
+    """v2 with per-block band WINDOWING (exact, data-dependent speed).
+
+    The 128 queries of one block are spatially contiguous (levels keep the
+    backbone's space-filling order), their sampled locations cluster around
+    them, and the 4-NN targets of nearby grid cells are nearby token indices
+    — so per (query block, value level) the hit hi-bands concentrate in a
+    narrow window.  Rebase to base=min(hi): when the spread fits in
+    _WINDOW_BANDS bands, build W only that wide and run the per-band val
+    dots against a dynamic val slice; otherwise fall back to the full-width
+    v2 path in-kernel (bit-identical semantics either way — locality only
+    buys speed, never changes results).  At init the sampling offsets are
+    bias-only (radius <= n_points cells), so the window almost always fits;
+    trained offsets stay small in practice (deformable-attention prior).
+
+    Accumulates in a VMEM scratch because the branch arms are effectful."""
+    bq = idx_ref.shape[1]
+    c_ = val_ref.shape[2]
+    p = pairs_per_level
+    kw = _WINDOW_BANDS
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    off = 0
+    for j, nj in enumerate(level_sizes):
+        hi_n = nj // 128
+        idx_j = idx_ref[0, :, j, :] - off                  # (BQ, P) local
+        w_j = w_ref[0, :, j, :]
+        hi = idx_j // 128
+        lo = idx_j - hi * 128
+        l_oh = jnp.where(
+            lo[:, :, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (bq, p, 128), 2),
+            w_j[:, :, None], 0.0,
+        )                                                  # (BQ, P, 128)
+
+        if hi_n <= kw:
+            # level fits the window statically: plain v2
+            h_oh = (
+                hi[:, :, None]
+                == jax.lax.broadcasted_iota(jnp.int32, (bq, p, hi_n), 2)
+            ).astype(jnp.float32)
+            w_mat = jax.lax.dot_general(
+                h_oh, l_oh, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            for hi_idx in range(hi_n):
+                acc_ref[...] += jax.lax.dot_general(
+                    w_mat[:, hi_idx, :],
+                    val_ref[0, off + hi_idx * 128 : off + (hi_idx + 1) * 128, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            off += nj
+            continue
+
+        base = jnp.min(hi)
+        spread = jnp.max(hi) - base
+        fits = jnp.logical_and(spread < kw, base >= 0)
+
+        @pl.when(fits)
+        def _fast(hi=hi, l_oh=l_oh, base=base, off=off):
+            hiw = hi - base
+            h_oh = (
+                hiw[:, :, None]
+                == jax.lax.broadcasted_iota(jnp.int32, (bq, p, kw), 2)
+            ).astype(jnp.float32)                          # (BQ, P, KW)
+            w_mat = jax.lax.dot_general(
+                h_oh, l_oh, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                              # (BQ, KW, 128)
+            for i in range(kw):
+                start = off + (base + i) * 128
+                acc_ref[...] += jax.lax.dot_general(
+                    w_mat[:, i, :],
+                    val_ref[0, pl.dslice(start, 128), :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+        @pl.when(jnp.logical_not(fits))
+        def _full(hi=hi, l_oh=l_oh, off=off, hi_n=hi_n):
+            h_oh = (
+                hi[:, :, None]
+                == jax.lax.broadcasted_iota(jnp.int32, (bq, p, hi_n), 2)
+            ).astype(jnp.float32)
+            w_mat = jax.lax.dot_general(
+                h_oh, l_oh, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            for hi_idx in range(hi_n):
+                acc_ref[...] += jax.lax.dot_general(
+                    w_mat[:, hi_idx, :],
+                    val_ref[0, off + hi_idx * 128 : off + (hi_idx + 1) * 128, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+        off += nj
+    out_ref[0] = acc_ref[...]
+
+
 def _kernel(idx_ref, w_ref, val_ref, out_ref, *, level_sizes, pairs_per_level):
     """idx_ref/w_ref: (1, BQ, L, P) — value-table indices (global) and
     attn-folded weights, regrouped per level; val_ref: (1, ntot, c_)."""
@@ -330,7 +484,8 @@ def msdetrpc_pallas_impl(nn_idx, nn_weight, attn, val,
     nqb = n_pad // BLOCK_Q
 
     kernel = functools.partial(
-        {1: _kernel, 2: _kernel_v2, 3: _kernel_v3}[version],
+        {1: _kernel, 2: _kernel_v2, 3: _kernel_v3, 4: _kernel_v4,
+         5: _kernel_v5}[version],
         level_sizes=tuple(level_sizes), pairs_per_level=pairs,
     )
     common = dict(
@@ -344,6 +499,8 @@ def msdetrpc_pallas_impl(nn_idx, nn_weight, attn, val,
         ),
         interpret=interpret,
     )
+    if version == 5:
+        common["scratch_shapes"] = [pltpu.VMEM((BLOCK_Q, c_), jnp.float32)]
     out = pl.pallas_call(
         kernel,
         grid=(bh, nqb),
