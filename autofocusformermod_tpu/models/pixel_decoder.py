@@ -25,7 +25,7 @@ import numpy as np
 import flax.linen as nn
 
 from ..geometry.knn import knn
-from ..geometry.gridnn import grid_neighbors9
+from ..geometry.gridnn import grid_neighbors9, pos_index_lut
 from ..geometry.shepard import shepard_decay_weights, upsample_feature_shepard
 from ..ops.clusten import cluster_wf, msdetrpc
 from ..ops.gather import take_rows
@@ -37,6 +37,7 @@ from .layers import WeightNet, position_embedding_sine, rel_pos_features
 ABLATE_MSDETRPC = False
 ABLATE_PACK = False
 ABLATE_KNN = False
+ABLATE_SHEPARD = False
 
 
 def _msdetrpc_dispatch(nn_idxs, nn_weights, attn_i, values_all, level_sizes):
@@ -84,6 +85,48 @@ def scale_pos(pos: jnp.ndarray, last_ss, cur_ss, no_bias: bool = False) -> jnp.n
     return ret
 
 
+DENSE_GRID_POINTCONV = True
+
+# static per-(h, w) 9-NN geometry for the dense full-grid PointConv path:
+# (border cell ids, their 9-NN cell ids, their rel offsets) as numpy constants
+_GRID9_STATIC_CACHE: Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+
+def _grid9_static(h: int, w: int):
+    """Trace-time constants for the dense-grid PointConv's border ring.
+
+    Interior cells' 9-NN are exactly their 3x3 neighborhood (max d2 = 2 vs
+    next candidate d2 = 4 — no ties).  Border cells clip the window and ties
+    at d2 >= 2 decide membership BY LOWEST TOKEN INDEX (gridnn._window_knn
+    lut semantics), which depends on the runtime token order — so for them we
+    precompute only the static 6x6 candidate window (cells + d2, oob pushed
+    to +inf) and resolve the lexicographic (d2, token) top-9 at runtime."""
+    key = (h, w)
+    if key not in _GRID9_STATIC_CACHE:
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        flat_y = ys.reshape(-1)
+        flat_x = xs.reshape(-1)
+        border = np.nonzero(
+            (flat_y == 0) | (flat_y == h - 1) | (flat_x == 0) | (flat_x == w - 1)
+        )[0].astype(np.int32)
+        bx = flat_x[border].astype(np.float32)
+        by = flat_y[border].astype(np.float32)
+        offs = np.arange(-2, 4, dtype=np.float32)        # 6-wide window
+        gx = bx[:, None, None] + offs[None, :, None]     # (nb, 6, 1)
+        gy = by[:, None, None] + offs[None, None, :]     # (nb, 1, 6)
+        d2 = (gx - bx[:, None, None]) ** 2 + (gy - by[:, None, None]) ** 2
+        oob = (gx < 0) | (gx > w - 1) | (gy < 0) | (gy > h - 1)
+        d2 = np.where(np.broadcast_to(oob, d2.shape), 1e10, d2)
+        cells = (
+            np.clip(gy, 0, h - 1) * w + np.clip(gx, 0, w - 1)
+        ).astype(np.int32)
+        cells = np.broadcast_to(cells, d2.shape).reshape(len(border), 36)
+        _GRID9_STATIC_CACHE[key] = (
+            border, cells.copy(), d2.reshape(len(border), 36).astype(np.float32)
+        )
+    return _GRID9_STATIC_CACHE[key]
+
+
 class PointConv(nn.Module):
     """3x3-conv analogue on point clouds: 9-NN gather, rel-pos-conditioned
     mixing weights, channel mix (msdeformattn_pc.py:272-314)."""
@@ -94,6 +137,14 @@ class PointConv(nn.Module):
     @nn.compact
     def __call__(self, x, pos, spatial_shape=None):
         b, n, c = x.shape
+        if (
+            DENSE_GRID_POINTCONV
+            and spatial_shape is not None
+            and n == spatial_shape[0] * spatial_shape[1]
+            and spatial_shape[0] >= 3
+            and spatial_shape[1] >= 3
+        ):
+            return self._dense_grid(x, pos, spatial_shape)
         if spatial_shape is not None and n == spatial_shape[0] * spatial_shape[1]:
             # full-grid token set: 3x3 neighborhoods are analytic (gridnn.py)
             nn_idx = grid_neighbors9(pos, spatial_shape[0], spatial_shape[1])
@@ -107,6 +158,78 @@ class PointConv(nn.Module):
         rel = jnp.trunc(rel)
         weights = WeightNet(self.inner_ch, name="weight_net")(rel_pos_features(rel))
         feat = cluster_wf(weights.astype(x.dtype), x, nn_idx).reshape(b, n, -1)
+        feat = nn.LayerNorm(name="norm")(feat)
+        return nn.Dense(self.out_dim, name="linear")(feat)
+
+    def _dense_grid(self, x, pos, spatial_shape):
+        """Full-grid fast path: raster-space 3x3 mixing instead of 9-NN row
+        gathers.
+
+        For every interior cell the 9 nearest grid tokens are exactly the 3x3
+        neighborhood and rel-pos is constant per slot, so WeightNet reduces to
+        NINE constant inner_ch-vectors and the mixing to 9 shifted adds (a
+        3x3 conv).  Border cells (outer ring, where the window clips and ties
+        at distance >= 2 pick members) use trace-time-static 9-NN sets from
+        the exact ``grid_neighbors9``.  Replaces 2x b*n*9 row gathers + a
+        per-token WeightNet with two b*n-row permutations (measured 16.8 ms
+        -> ~1 ms for the FPN PointConv at 512x512 batch 4).  The sum over
+        slots is order-free, so slot order vs. the gather path is
+        irrelevant."""
+        b, n, c = x.shape
+        h_, w_ = int(spatial_shape[0]), int(spatial_shape[1])
+        ic = self.inner_ch
+        border, cand_cells, cand_d2 = _grid9_static(h_, w_)
+        nb = len(border)
+
+        weight_net = WeightNet(ic, name="weight_net")
+        # token order -> raster order (gathers pipeline better than scatters)
+        lut = pos_index_lut(pos, h_, w_)                  # (b, hw) cell->token
+        img = take_rows(x, lut)                           # (b, hw, c) raster
+        img2 = img.reshape(b, h_, w_, c)
+
+        # interior: 9 constant weight vectors (rel = -offset, trunc = id)
+        offs = np.asarray(
+            [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)], np.float32
+        )
+        w_int = weight_net(rel_pos_features(jnp.asarray(-offs))).astype(x.dtype)
+        pad = jnp.pad(img2, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        acc = None
+        for s, (dx, dy) in enumerate(offs.astype(np.int32)):
+            shifted = pad[:, 1 + dy : 1 + dy + h_, 1 + dx : 1 + dx + w_, :]
+            term = shifted[..., None, :] * w_int[s][:, None]
+            acc = term if acc is None else acc + term     # (b, h, w, ic, c)
+        acc = acc.reshape(b, n, ic, c)
+
+        # border ring: resolve (d2, token)-lexicographic top-9 at runtime —
+        # the same tie semantics as _window_knn(lut=...)
+        from ..ops.gather import take_scalars
+
+        cellb = jnp.broadcast_to(jnp.asarray(cand_cells), (b, nb, 36))
+        d2b = jnp.broadcast_to(jnp.asarray(cand_d2), (b, nb, 36))
+        tokb = take_scalars(lut, cellb.reshape(b, -1)).reshape(b, nb, 36)
+        _, tok9, cell9 = jax.lax.sort(
+            (d2b, tokb, cellb), dimension=-1, num_keys=2
+        )
+        tok9, cell9 = tok9[..., :9], cell9[..., :9]
+        nb_pos = jnp.stack(
+            [(cell9 % w_).astype(jnp.float32), (cell9 // w_).astype(jnp.float32)],
+            axis=-1,
+        )                                                 # (b, nb, 9, 2)
+        bpos = jnp.stack(
+            [jnp.asarray(border % w_, jnp.float32),
+             jnp.asarray(border // w_, jnp.float32)], axis=-1,
+        )                                                 # (nb, 2)
+        rel_b = jnp.trunc(bpos[None, :, None, :] - nb_pos)
+        w_b = weight_net(rel_pos_features(rel_b)).astype(x.dtype)
+        bfeat = take_rows(x, tok9)                        # (b, nb, 9, c)
+        bacc = jnp.einsum("bnsi,bnsc->bnic", w_b, bfeat)
+        acc = acc.at[:, jnp.asarray(border)].set(bacc)
+
+        # raster -> token order
+        cell = (
+            pos[..., 1].astype(jnp.int32) * w_ + pos[..., 0].astype(jnp.int32)
+        )
+        feat = take_rows(acc.reshape(b, n, ic * c), cell)
         feat = nn.LayerNorm(name="norm")(feat)
         return nn.Dense(self.out_dim, name="linear")(feat)
 
@@ -218,7 +341,10 @@ class MSDeformAttnPc(nn.Module):
                 nb_y = packed[..., 8:12]
 
                 d2 = (loc[..., 0:1] - nb_x) ** 2 + (loc[..., 1:2] - nb_y) ** 2
-                w = shepard_decay_weights(d2, power=power)      # (b*h, n_i*k, 4)
+                if ABLATE_SHEPARD:
+                    w = jnp.full_like(d2, 0.25) + d2 * 0.0 + power * 0.0
+                else:
+                    w = shepard_decay_weights(d2, power=power)  # (b*h, n_i*k, 4)
 
                 nn_idxs.append(nb_real + int(level_offsets[j]))
                 nn_weights.append(w)

@@ -349,6 +349,121 @@ def _kernel_v5(idx_ref, w_ref, val_ref, out_ref, acc_ref, *, level_sizes,
     out_ref[0] = acc_ref[...]
 
 
+_V6_GROUP = 8       # queries packed block-diagonally into one MXU issue
+
+
+def _kernel_v6(idxr_ref, wr_ref, val_ref, out_ref, s_ref, *, level_sizes,
+               pairs_per_level):
+    """Block-diagonal group packing: one FULL-DEPTH MXU issue per 8 queries.
+
+    v2 is MXU op-ISSUE bound: its batched W dot unrolls into one tiny
+    (P x hi_n)x(P x 128) matmul PER QUERY (~90 ns each regardless of size —
+    measured: FLOP cuts, bf16, wide bands, and level fusion all tie).  v6
+    restructures the same contraction so the MXU issue count drops ~4.7x:
+
+      pack g = 8 queries; rows r = qhat*P + p (on SUBLANES — the wrapper
+      supplies idx/w as (bh, L, n*P, 1) so no in-kernel relayout is needed);
+      H[r, hi*8 + qhat] = 1[hi_r = hi and r//P = qhat]      (block-diagonal)
+      L[r, lo]          = w_r * 1[lo_r = lo]
+      R_g = H^T @ L     -> one 128-deep issue per group; rows hi*8 + qhat.
+
+    R_g rows are copied band-contiguously into a VMEM scratch laid out
+    [hi*128 + q, lo] so the per-band val dots afterwards are the same
+    (128q x 128lo) x (128lo x c) issues as v2's.  Per 4096-query-level
+    program: 16 + 32 issues vs v2's 128 + 32.  H/L build in bf16 (exact for
+    one-hots; weights round at ~4e-3 rel, inside the 2% Pallas budget) so
+    every dot runs single-pass on the MXU."""
+    bq = out_ref.shape[1]
+    c_ = val_ref.shape[2]
+    p = pairs_per_level
+    rows = _V6_GROUP * p                       # rows per group (= 128)
+    n_groups = bq // _V6_GROUP
+
+    acc = jnp.zeros((bq, c_), jnp.float32)
+    off = 0
+    for j, nj in enumerate(level_sizes):
+        hi_n = nj // 128
+        cw = hi_n * _V6_GROUP                  # columns: c = hi*8 + qhat
+        c_hi = jax.lax.broadcasted_iota(jnp.int32, (rows, cw), 1) // _V6_GROUP
+        c_q = jax.lax.broadcasted_iota(jnp.int32, (rows, cw), 1) % _V6_GROUP
+        r_q = jax.lax.broadcasted_iota(jnp.int32, (rows, cw), 0) // p
+        lo_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+
+        for g in range(n_groups):
+            sl = pl.dslice(g * rows, rows)
+            idx_g = idxr_ref[0, j, sl, :]      # (rows, 1) level-local
+            w_g = wr_ref[0, j, sl, :]
+            hi_g = idx_g // 128
+            lo_g = idx_g - hi_g * 128
+            h_blk = jnp.logical_and(hi_g == c_hi, r_q == c_q).astype(
+                jnp.bfloat16
+            )                                  # (rows, cw)
+            l_blk = jnp.where(lo_g == lo_iota, w_g, 0.0).astype(jnp.bfloat16)
+            r_g = jax.lax.dot_general(
+                h_blk, l_blk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                  # (cw, 128): rows hi*8 + qhat
+            for hi_idx in range(hi_n):
+                s_ref[
+                    hi_idx * bq + g * _V6_GROUP
+                    : hi_idx * bq + (g + 1) * _V6_GROUP, :
+                ] = r_g[hi_idx * _V6_GROUP : (hi_idx + 1) * _V6_GROUP, :]
+
+        for hi_idx in range(hi_n):
+            acc = acc + jax.lax.dot_general(
+                s_ref[hi_idx * bq : (hi_idx + 1) * bq, :].astype(jnp.bfloat16),
+                val_ref[0, off + hi_idx * 128 : off + (hi_idx + 1) * 128, :]
+                .astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        off += nj
+    out_ref[0] = acc
+
+
+def _kernel_v7(idx_ref, w_ref, val_ref, out_ref, *, level_sizes,
+               pairs_per_level):
+    """v2 with 5-D (bh, n, L, P, 1) inputs: P arrives on SUBLANES.
+
+    v2's one-hot builds broadcast idx_j[:, :, None] — a lanes->sublanes
+    relayout of the P axis that Mosaic lowers through a slow copy path,
+    measured at ~4.7 ms of the 11.2 ms call (vs ~0.3 ms of arithmetic).
+    Supplying the trailing singleton from XLA keeps P on sublanes end to
+    end, so the iota compares broadcast along lanes with no relayout."""
+    bq = idx_ref.shape[1]
+    c_ = val_ref.shape[2]
+    p = pairs_per_level
+
+    acc = jnp.zeros((bq, c_), jnp.float32)
+    off = 0
+    for j, nj in enumerate(level_sizes):
+        hi_n = nj // 128
+        idx_j = idx_ref[0, :, j, :, :] - off               # (BQ, P, 1) local
+        w_j = w_ref[0, :, j, :, :]
+        hi = idx_j // 128
+        lo = idx_j - hi * 128
+        h_oh = (
+            hi == jax.lax.broadcasted_iota(jnp.int32, (bq, p, hi_n), 2)
+        ).astype(jnp.float32)                              # (BQ, P, HI)
+        l_oh = jnp.where(
+            lo == jax.lax.broadcasted_iota(jnp.int32, (bq, p, 128), 2),
+            w_j, 0.0,
+        )                                                  # (BQ, P, 128)
+        w_mat = jax.lax.dot_general(
+            h_oh, l_oh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                  # (BQ, HI, 128)
+        for hi_idx in range(hi_n):
+            acc = acc + jax.lax.dot_general(
+                w_mat[:, hi_idx, :],
+                val_ref[0, off + hi_idx * 128 : off + (hi_idx + 1) * 128, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        off += nj
+    out_ref[0] = acc
+
+
 def _kernel(idx_ref, w_ref, val_ref, out_ref, *, level_sizes, pairs_per_level):
     """idx_ref/w_ref: (1, BQ, L, P) — value-table indices (global) and
     attn-folded weights, regrouped per level; val_ref: (1, ntot, c_)."""
@@ -482,6 +597,68 @@ def msdetrpc_pallas_impl(nn_idx, nn_weight, attn, val,
     n_pad = idx.shape[1]
     val_f = val.astype(jnp.float32)
     nqb = n_pad // BLOCK_Q
+
+    if version == 6:
+        # r-major (sublane) layout with level-local indices — see _kernel_v6
+        offs = np.cumsum([0] + list(level_sizes))[:-1]
+        idx_l = idx - jnp.asarray(offs, jnp.int32)[None, None, :, None]
+        idxr = idx_l.transpose(0, 2, 1, 3).reshape(
+            bh, n_levels, n_pad * pairs, 1
+        )
+        wrr = wr.transpose(0, 2, 1, 3).reshape(bh, n_levels, n_pad * pairs, 1)
+        out = pl.pallas_call(
+            functools.partial(
+                _kernel_v6, level_sizes=tuple(level_sizes),
+                pairs_per_level=pairs,
+            ),
+            grid=(bh, nqb),
+            in_specs=[
+                pl.BlockSpec((1, n_levels, BLOCK_Q * pairs, 1),
+                             lambda b, q: (b, 0, q, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_levels, BLOCK_Q * pairs, 1),
+                             lambda b, q: (b, 0, q, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ntot, c_), lambda b, q: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, BLOCK_Q, c_), lambda b, q: (b, q, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bh, n_pad, c_), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((max(level_sizes), 128), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(idxr, wrr, val_f)
+        return out[:, :n]
+
+    if version == 7:
+        out = pl.pallas_call(
+            functools.partial(
+                _kernel_v7, level_sizes=tuple(level_sizes),
+                pairs_per_level=pairs,
+            ),
+            grid=(bh, nqb),
+            in_specs=[
+                pl.BlockSpec((1, BLOCK_Q, n_levels, pairs, 1),
+                             lambda b, q: (b, q, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BLOCK_Q, n_levels, pairs, 1),
+                             lambda b, q: (b, q, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ntot, c_), lambda b, q: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, BLOCK_Q, c_), lambda b, q: (b, q, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bh, n_pad, c_), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(idx[..., None], wr[..., None], val_f)
+        return out[:, :n]
 
     kernel = functools.partial(
         {1: _kernel, 2: _kernel_v2, 3: _kernel_v3, 4: _kernel_v4,

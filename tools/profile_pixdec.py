@@ -84,6 +84,7 @@ def main() -> None:
     no_ms = time_variant("no msdetrpc", ABLATE_MSDETRPC=True)
     no_pack = time_variant("no packed gathers", ABLATE_PACK=True)
     no_knn = time_variant("no knn", ABLATE_KNN=True)
+    no_shep = time_variant("no shepard pow", ABLATE_SHEPARD=True)
     no_all = time_variant(
         "dense only", ABLATE_MSDETRPC=True, ABLATE_PACK=True, ABLATE_KNN=True
     )
@@ -92,6 +93,7 @@ def main() -> None:
     print(f"  msdetrpc kernel      {(full - no_ms) * 1e3:8.1f} ms")
     print(f"  packed table gathers {(full - no_pack) * 1e3:8.1f} ms")
     print(f"  grid 4-NN knn        {(full - no_knn) * 1e3:8.1f} ms")
+    print(f"  shepard pow/weights  {(full - no_shep) * 1e3:8.1f} ms")
     print(f"  dense/other residual {no_all * 1e3:8.1f} ms")
 
 
