@@ -40,34 +40,57 @@ ABLATE_KNN = False
 ABLATE_SHEPARD = False
 
 
-def _msdetrpc_dispatch(nn_idxs, nn_weights, attn_i, values_all, level_sizes):
+def _msdetrpc_dispatch(idxs_local, ws_shepard, attn_perm, values_all,
+                       level_sizes):
     """Route the deformable-sampling contraction to the fused Pallas kernel
     (ops/pallas/msdetrpc_kernel.py — one-hot x MXU, no row gathers) on TPU,
     falling back to the XLA gather composition elsewhere or when shapes are
     unsupported.  The Pallas path computes at bf16 matmul precision
-    (~0.5% rel); the XLA path stays the exact semantic reference."""
-    from ..ops.dispatch import fused_attention_available
-    from ..ops.pallas.msdetrpc_kernel import (
-        msdetrpc_pallas,
-        msdetrpc_pallas_supported,
-    )
+    (~0.5% rel); the XLA path stays the exact semantic reference.
 
+    idxs_local: per level j, (bh, n_i, k, 4) LOCAL indices into level j's
+    value rows; ws_shepard: matching Shepard weights; attn_perm:
+    (bh, n_i, l, k) softmaxed attention.  Per-level inputs keep the kernel
+    operands in their producers' natural layout — the old interleaved
+    (bh, n, k*l, 4) form forced two XLA relayout copies per call."""
+    from ..ops.dispatch import fused_attention_available
+    from ..ops.pallas.msdetrpc_kernel import msdetrpc_pallas_levels
+
+    bh, n_i, kpts, kk = idxs_local[0].shape
+    n_levels = len(level_sizes)
     if ABLATE_MSDETRPC:
-        bh, n_i = nn_idxs.shape[:2]
         return jnp.zeros((bh, n_i, values_all.shape[-1]),
-                         values_all.dtype) + attn_i.sum() * 0.0
+                         values_all.dtype) + attn_perm.sum() * 0.0
     dt = values_all.dtype
-    if fused_attention_available() and msdetrpc_pallas_supported(
-        nn_idxs, values_all, len(level_sizes), level_sizes
-    ):
+    pallas_ok = (
+        sum(level_sizes) == values_all.shape[1]
+        and all(nj % 128 == 0 for nj in level_sizes)
+    )
+    if fused_attention_available() and pallas_ok:
+        idxs = tuple(i.reshape(bh, n_i, kpts * kk) for i in idxs_local)
+        ws = tuple(
+            (w.astype(jnp.float32)
+             * attn_perm[:, :, j, :, None].astype(jnp.float32))
+            .reshape(bh, n_i, kpts * kk)
+            for j, w in enumerate(ws_shepard)
+        )
         # kernel contract is fp32 refs (dots run at bf16 MXU precision inside)
-        return msdetrpc_pallas(
-            nn_idxs, nn_weights.astype(jnp.float32), attn_i.astype(jnp.float32),
-            values_all.astype(jnp.float32), level_sizes
+        return msdetrpc_pallas_levels(
+            idxs, ws, values_all.astype(jnp.float32), level_sizes
         ).astype(dt)
-    # XLA path: shepard weights arrive fp32 (geometry); cast down so the
-    # contraction and its output stay in the compute dtype
-    return msdetrpc(nn_idxs, nn_weights.astype(dt), attn_i.astype(dt), values_all)
+    # XLA path: assemble the interleaved reference layout (levels fastest in
+    # the slot axis); shepard weights arrive fp32 (geometry) — cast down so
+    # the contraction and its output stay in the compute dtype
+    offs = np.cumsum([0] + list(level_sizes))[:-1]
+    nn_idxs = jnp.stack(
+        [i + int(o) for i, o in zip(idxs_local, offs)], axis=3
+    ).reshape(bh, n_i, kpts * n_levels, kk)
+    nn_weights = jnp.stack(ws_shepard, axis=3).reshape(
+        bh, n_i, kpts * n_levels, kk
+    )
+    attn_i = attn_perm.transpose(0, 1, 3, 2).reshape(bh, n_i, kpts * n_levels)
+    return msdetrpc(nn_idxs, nn_weights.astype(dt), attn_i.astype(dt),
+                    values_all)
 
 
 def scale_pos(pos: jnp.ndarray, last_ss, cur_ss, no_bias: bool = False) -> jnp.ndarray:
@@ -304,7 +327,6 @@ class MSDeformAttnPc(nn.Module):
 
         outputs = []
         level_sizes = [q.shape[1] for q in querys]
-        level_offsets = np.cumsum([0] + level_sizes)
         for i in range(l):
             n_i = level_sizes[i]
             offs = offsets_net(querys[i]).reshape(b, n_i, h, l, k, 2)
@@ -312,8 +334,8 @@ class MSDeformAttnPc(nn.Module):
                 attn_net(querys[i]).reshape(b, n_i, h, l * k), axis=-1
             ).reshape(b, n_i, h, l, k)
 
-            nn_idxs = []
-            nn_weights = []
+            idxs_local = []
+            ws_shepard = []
             for j in range(l):
                 # query positions of level i in level j's canvas
                 s_pos = scale_pos(poss[i], spatial_shapes[i], spatial_shapes[j], no_bias=True)
@@ -346,14 +368,13 @@ class MSDeformAttnPc(nn.Module):
                 else:
                     w = shepard_decay_weights(d2, power=power)  # (b*h, n_i*k, 4)
 
-                nn_idxs.append(nb_real + int(level_offsets[j]))
-                nn_weights.append(w)
+                idxs_local.append(nb_real.reshape(b * h, n_i, k, 4))
+                ws_shepard.append(w.reshape(b * h, n_i, k, 4))
 
-            nn_idxs = jnp.stack(nn_idxs, axis=2).reshape(b * h, n_i, k * l, 4)
-            nn_weights = jnp.stack(nn_weights, axis=2).reshape(b * h, n_i, k * l, 4)
-            attn_i = attn.transpose(0, 2, 1, 4, 3).reshape(b * h, n_i, k * l)
+            attn_perm = attn.transpose(0, 2, 1, 3, 4).reshape(b * h, n_i, l, k)
             sampled = _msdetrpc_dispatch(
-                nn_idxs, nn_weights, attn_i, values_all, tuple(level_sizes)
+                idxs_local, ws_shepard, attn_perm, values_all,
+                tuple(level_sizes)
             )
             sampled = sampled.reshape(b, h, n_i, c_).transpose(0, 2, 1, 3).reshape(b, n_i, c)
             outputs.append(out_proj(sampled))

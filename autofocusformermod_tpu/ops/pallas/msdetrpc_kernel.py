@@ -783,3 +783,171 @@ def _bwd(level_sizes, res, g):
 
 
 msdetrpc_pallas.defvjp(_fwd, _bwd)
+
+
+def _kernel_v8(*args, level_sizes, pairs_per_level):
+    """v2 body on PER-LEVEL refs with level-local indices.
+
+    The interleaved (bh, n, k*l, m) layout forced two relayouts per call:
+    the stack+transpose in XLA emitted {1,0,3,2}->{3,2,1,0} copies on both
+    kernel operands (~0.6 ms each at the 4096-query level, x2 operands x6
+    layers).  Feeding each level's (bh, n, pairs) block straight from its
+    producer keeps everything in the natural row-major layout end to end."""
+    n_levels = len(level_sizes)
+    idx_refs = args[:n_levels]
+    w_refs = args[n_levels : 2 * n_levels]
+    val_ref = args[2 * n_levels]
+    out_ref = args[2 * n_levels + 1]
+    bq = out_ref.shape[1]
+    c_ = val_ref.shape[2]
+    p = pairs_per_level
+
+    acc = jnp.zeros((bq, c_), jnp.float32)
+    off = 0
+    for j, nj in enumerate(level_sizes):
+        hi_n = nj // 128
+        idx_j = idx_refs[j][0]                             # (BQ, P) local
+        w_j = w_refs[j][0]
+        hi = idx_j // 128
+        lo = idx_j - hi * 128
+        h_oh = (
+            hi[:, :, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (bq, p, hi_n), 2)
+        ).astype(jnp.float32)
+        l_oh = jnp.where(
+            lo[:, :, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (bq, p, 128), 2),
+            w_j[:, :, None], 0.0,
+        )
+        w_mat = jax.lax.dot_general(
+            h_oh, l_oh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        for hi_idx in range(hi_n):
+            acc = acc + jax.lax.dot_general(
+                w_mat[:, hi_idx, :],
+                val_ref[0, off + hi_idx * 128 : off + (hi_idx + 1) * 128, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        off += nj
+    out_ref[0] = acc
+
+
+def msdetrpc_pallas_levels_impl(idxs, ws, val, level_sizes: Tuple[int, ...],
+                                interpret: bool = False):
+    """Per-level forward: idxs/ws are per-level (bh, n, pairs) arrays with
+    LEVEL-LOCAL indices and attention already folded into the weights."""
+    bh, n, pairs = idxs[0].shape
+    ntot, c_ = val.shape[1:]
+    n_levels = len(level_sizes)
+
+    idx_p = [_pad_to(i.astype(jnp.int32), BLOCK_Q, 1) for i in idxs]
+    w_p = [_pad_to(w.astype(jnp.float32), BLOCK_Q, 1) for w in ws]
+    n_pad = idx_p[0].shape[1]
+    nqb = n_pad // BLOCK_Q
+    val_f = val.astype(jnp.float32)
+
+    lvl_spec = pl.BlockSpec((1, BLOCK_Q, pairs), lambda b, q: (b, q, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_v8, level_sizes=tuple(level_sizes), pairs_per_level=pairs,
+        ),
+        grid=(bh, nqb),
+        in_specs=[lvl_spec] * (2 * n_levels) + [
+            pl.BlockSpec((1, ntot, c_), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BLOCK_Q, c_), lambda b, q: (b, q, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, c_), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bh * nqb * BLOCK_Q * ntot * (pairs + c_),
+            bytes_accessed=bh * (ntot * c_ * 4
+                                 + n_pad * n_levels * pairs * 8),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*idx_p, *w_p, val_f)
+    return out[:, :n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def msdetrpc_pallas_levels(idxs, ws, val, level_sizes):
+    """Per-level-input variant of msdetrpc_pallas (no interleaved layout).
+
+    idxs: tuple of (bh, n, pairs) int32, level-LOCAL value indices
+    ws:   tuple of (bh, n, pairs) f32, shepard weights with attention folded
+    val:  (bh, ntot, c_); level_sizes partition its token axis."""
+    return msdetrpc_pallas_levels_impl(idxs, ws, val, level_sizes)
+
+
+def _fwd_levels(idxs, ws, val, level_sizes):
+    return msdetrpc_pallas_levels_impl(idxs, ws, val, level_sizes), (
+        idxs, ws, val,
+    )
+
+
+def _bwd_levels(level_sizes, res, g):
+    """Reuse the regrouped-layout backward kernel: the regrouped layout IS
+    per-level contiguous, so assembling it is a plain stack (training-only
+    path; inference never pays it)."""
+    idxs, ws, val = res
+    bh, n, pairs = idxs[0].shape
+    ntot, c_ = val.shape[1:]
+    n_levels = len(level_sizes)
+    offs = np.cumsum([0] + list(level_sizes))[:-1]
+
+    idx = jnp.stack(
+        [i + int(o) for i, o in zip(idxs, offs)], axis=2
+    )                                                   # (bh, n, L, P) global
+    wr = jnp.stack(ws, axis=2).astype(jnp.float32)
+    idx = _pad_to(idx, BLOCK_Q, 1, value=0)
+    wr = _pad_to(wr, BLOCK_Q, 1, value=0.0)
+    n_pad = idx.shape[1]
+    nqb = n_pad // BLOCK_Q
+    val_f = val.astype(jnp.float32)
+    g_f = _pad_to(g.astype(jnp.float32), BLOCK_Q, 1, value=0.0)
+
+    dval, dwr = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, level_sizes=tuple(level_sizes), pairs_per_level=pairs,
+        ),
+        grid=(bh, nqb),
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_Q, n_levels, pairs), lambda b, q: (b, q, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, n_levels, pairs), lambda b, q: (b, q, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ntot, c_), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, c_), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ntot, c_), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, n_levels, pairs), lambda b, q: (b, q, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, ntot, c_), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n_pad, n_levels, pairs), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(idx, wr, val_f, g_f)
+
+    d_ws = tuple(
+        dwr[:, :n, j].astype(ws[j].dtype) for j in range(n_levels)
+    )
+    d_idxs = tuple(jnp.zeros_like(i) for i in idxs)
+    return d_idxs, d_ws, dval.astype(val.dtype)
+
+
+msdetrpc_pallas_levels.defvjp(_fwd_levels, _bwd_levels)

@@ -131,3 +131,94 @@ def test_msdetrpc_pallas_parity():
     # ~0.5% relative of the accumulation scale (see module docstring)
     scale = np.abs(ref).max()
     np.testing.assert_allclose(out, ref, atol=2e-2 * scale)
+
+
+def _to_levels(nn_idx, nn_w, attn, sizes):
+    """Convert an interleaved case to the per-level API inputs."""
+    bh, n, m, kk = nn_idx.shape
+    L = len(sizes)
+    kpts = m // L
+    offs = np.cumsum([0] + list(sizes))
+    idxs, ws = [], []
+    for j in range(L):
+        slots = [ki * L + j for ki in range(kpts)]
+        ij = nn_idx[:, :, slots, :] - offs[j]
+        wj = nn_w[:, :, slots, :] * attn[:, :, slots, None]
+        idxs.append(jnp.asarray(ij.reshape(bh, n, kpts * kk), jnp.int32))
+        ws.append(jnp.asarray(wj.reshape(bh, n, kpts * kk), jnp.float32))
+    return tuple(idxs), tuple(ws)
+
+
+def test_msdetrpc_pallas_levels_interpret_exact():
+    """Per-level-input kernel (v8) matches the XLA reference in fp32."""
+    from autofocusformermod_tpu.ops.clusten import msdetrpc
+    from autofocusformermod_tpu.ops.pallas.msdetrpc_kernel import (
+        msdetrpc_pallas_levels_impl,
+    )
+
+    nn_idx, nn_w, attn, val, sizes = _make_case(
+        np.random.default_rng(1), bh=2, n=140
+    )
+    ref = np.asarray(
+        msdetrpc(jnp.asarray(nn_idx), jnp.asarray(nn_w), jnp.asarray(attn),
+                 jnp.asarray(val))
+    )
+    idxs, ws = _to_levels(nn_idx, nn_w, attn, sizes)
+    out = np.asarray(
+        msdetrpc_pallas_levels_impl(idxs, ws, jnp.asarray(val), sizes,
+                                    interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.skipif(not _tpu(), reason="needs TPU")
+def test_msdetrpc_pallas_levels_vjp_tpu():
+    """Per-level custom VJP (folded weights + val) vs the XLA reference."""
+    from autofocusformermod_tpu.ops.clusten import msdetrpc
+    from autofocusformermod_tpu.ops.pallas.msdetrpc_kernel import (
+        msdetrpc_pallas_levels,
+    )
+
+    rng = np.random.default_rng(2)
+    nn_idx, nn_w, attn, val, sizes = _make_case(rng)
+    idxs, ws = _to_levels(nn_idx, nn_w, attn, sizes)
+    bh, n = nn_idx.shape[:2]
+    g = jnp.asarray(rng.standard_normal((bh, n, val.shape[-1])), jnp.float32)
+
+    # XLA reference as a function of the SAME folded per-level weights
+    L = len(sizes)
+    kpts = nn_idx.shape[2] // L
+    offs = np.cumsum([0] + list(sizes))
+
+    def ref_fn(ws_, v):
+        slot_parts = []
+        for ki in range(kpts):
+            for j in range(L):
+                slot_parts.append(
+                    (jnp.asarray(nn_idx[:, :, ki * L + j, :], jnp.int32)
+                     + 0,
+                     ws_[j].reshape(bh, n, kpts, 4)[:, :, ki, :])
+                )
+        idx_full = jnp.stack([p[0] for p in slot_parts], axis=2)
+        w_full = jnp.stack([p[1] for p in slot_parts], axis=2)
+        ones = jnp.ones((bh, n, kpts * L), jnp.float32)
+        return msdetrpc(idx_full, w_full, ones, v)
+
+    out_ref, vjp_ref = jax.vjp(ref_fn, ws, jnp.asarray(val))
+    dws_ref, dv_ref = vjp_ref(g)
+    out, vjp = jax.vjp(
+        lambda ws_, v: msdetrpc_pallas_levels(idxs, ws_, v, sizes), ws,
+        jnp.asarray(val),
+    )
+    dws, dv = vjp(g)
+
+    scale = float(np.abs(np.asarray(out_ref)).max())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               atol=2e-2 * scale)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref),
+                               atol=2e-2 * float(np.abs(dv_ref).max()))
+    for got, ref in zip(dws, dws_ref):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref),
+            atol=2e-2 * float(np.abs(np.asarray(ref)).max()),
+        )
