@@ -246,3 +246,23 @@ def test_grid_neighbors9_interior_matches_knn():
         d_nine = sorted(((p[nine[0, i]] - p[i]) ** 2).sum(1).tolist())
         d_exact = sorted(((p[exact[0, i]] - p[i]) ** 2).sum(1).tolist())
         assert d_nine == d_exact, (i, d_nine, d_exact)
+
+
+def test_knn_two_level_tie_exactness():
+    """The two-level (block-min) KNN extraction must match stable-argsort
+    semantics exactly — including lowest-index tie-breaks on integer grids
+    with many duplicate positions (ndb >= 1024 triggers the fast path)."""
+    import jax.numpy as jnp
+    from autofocusformermod_tpu.geometry.knn import knn
+
+    rng = np.random.default_rng(0)
+    for nq, ndb in ((700, 1500), (300, 4096)):
+        q = jnp.asarray(rng.integers(0, 40, (2, nq, 2)), jnp.float32)
+        db = jnp.asarray(rng.integers(0, 40, (2, ndb, 2)), jnp.float32)
+        d2 = (
+            (np.asarray(q)[:, :, None, :] - np.asarray(db)[:, None, :, :]) ** 2
+        ).sum(-1)
+        for k in (1, 4, 9, 16):
+            got = np.asarray(knn(q, db, k))
+            ref = np.argsort(d2, axis=-1, kind="stable")[..., :k]
+            assert np.array_equal(got, ref), f"ndb={ndb} k={k}"
