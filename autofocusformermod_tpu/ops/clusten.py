@@ -37,7 +37,7 @@ def _gather_tokens(feat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     n, c = feat.shape[1:]
     gidx = (idx.astype(jnp.int32)
             + (jnp.arange(b, dtype=jnp.int32) * n)[:, None, None]).reshape(-1)
-    out = jnp.take(feat.reshape(b * n, c), gidx, axis=0)
+    out = jnp.take(feat.reshape(b * n, c), gidx, axis=0, mode="clip")
     return out.reshape(b, n_, m, c)
 
 
@@ -49,7 +49,7 @@ def _gather_tokens_h(feat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     row0 = (jnp.arange(b, dtype=jnp.int32) * h)[:, None, None, None]
     rowh = jnp.arange(h, dtype=jnp.int32)[None, :, None, None]
     gidx = (idx.astype(jnp.int32)[:, None] + (row0 + rowh) * n).reshape(-1)
-    out = jnp.take(feat.reshape(b * h * n, c), gidx, axis=0)
+    out = jnp.take(feat.reshape(b * h * n, c), gidx, axis=0, mode="clip")
     return out.reshape(b, h, n_, m, c)
 
 
@@ -115,7 +115,7 @@ def msdetrpc(
     nv, c = val.shape[1:]
     gidx = (nn_idx.astype(jnp.int32)
             + (jnp.arange(b, dtype=jnp.int32) * nv)[:, None, None, None]).reshape(-1)
-    v_g = jnp.take(val.reshape(b * nv, c), gidx, axis=0)
+    v_g = jnp.take(val.reshape(b * nv, c), gidx, axis=0, mode="clip")
     v_g = v_g.reshape(b, n, m, k, c)
     # fold attn into the interpolation weights first: (b,n,m,k)
     w = nn_weight * attn[..., None]

@@ -21,7 +21,11 @@ def take_rows(feat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         (b,) + (1,) * (idx.ndim - 1)
     )
     gidx = (idx.astype(jnp.int32) + boff).reshape(-1)
-    out = jnp.take(feat.reshape(b * n, c), gidx, axis=0)
+    # mode="clip": every caller constructs in-bounds indices (knn / clamped
+    # grid snaps / packed tables), and jnp.take's default "fill" mode lowers
+    # to gather + a full select_n pass over the output (measured ~0.8 ms per
+    # encoder-layer lookup at 512x512 batch 4) to patch out-of-bounds rows.
+    out = jnp.take(feat.reshape(b * n, c), gidx, axis=0, mode="clip")
     return out.reshape(*idx.shape, c)
 
 
@@ -32,4 +36,6 @@ def take_scalars(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         (b,) + (1,) * (idx.ndim - 1)
     )
     gidx = (idx.astype(jnp.int32) + boff).reshape(-1)
-    return jnp.take(x.reshape(b * n), gidx, axis=0).reshape(idx.shape)
+    return jnp.take(x.reshape(b * n), gidx, axis=0, mode="clip").reshape(
+        idx.shape
+    )
