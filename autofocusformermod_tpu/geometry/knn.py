@@ -65,6 +65,18 @@ def knn(query: jnp.ndarray, database: jnp.ndarray, k: int, return_dist: bool = F
     ndb = database.shape[1]
     assert k <= ndb, f"k={k} > n_database={ndb}"
 
+    from ..ops.dispatch import fused_attention_available
+    from ..ops.pallas.knn_kernel import knn_pallas, knn_pallas_supported
+
+    if fused_attention_available() and knn_pallas_supported(query, database, k):
+        # fused Pallas path: distance tiles never leave registers and
+        # far chunks of the spatially-sorted database are pruned — tie
+        # semantics identical (tests/test_geometry.py)
+        idx, dist2 = knn_pallas(query, database, k)
+        if return_dist:
+            return idx, jnp.sqrt(dist2)
+        return idx
+
     chunk = _chunk_size(nq, ndb)
     num_chunks = -(-nq // chunk)
     pad = num_chunks * chunk - nq
