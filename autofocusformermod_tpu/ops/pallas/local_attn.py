@@ -207,41 +207,32 @@ def _bwd_dq_kernel(
     bq = q_ref.shape[2]
     c_ = q_ref.shape[3]
     nnc = ncq_ref.shape[1]
+    h = q_ref.shape[1]
     bi = pl.program_id(0)
-    hid = pl.program_id(1)
-    nbi = pl.program_id(2)
+    nbi = pl.program_id(1)
 
-    q = q_ref[0, 0]
-    g = g_ref[0, 0]
-    lse = lse_ref[0, 0]                                   # (BQ, 1)
-    delta = delta_ref[0, 0]
+    qs = [q_ref[0, hid] for hid in range(h)]
+    gs = [g_ref[0, hid] for hid in range(h)]
+    lses = [lse_ref[0, hid] for hid in range(h)]          # (BQ, 1)
+    deltas = [delta_ref[0, hid] for hid in range(h)]
     posq_x = posq_ref[0, 0:1, :].reshape(bq, 1)
     posq_y = posq_ref[0, 1:2, :].reshape(bq, 1)
-    w5 = [w5_ref[hid, i] for i in range(5)]
-    b5 = b5_ref[hid, 0]
 
     lo = lo_ref[bi, nbi]
     hi = hi_ref[bi, nbi]
 
     def body(cb, carry):
-        dq_acc, dr = carry
-        kb = kt_ref[0, 0, :, pl.ds(cb * BLOCK_K, BLOCK_K)]       # (c_, BK)
-        vb = vt_ref[0, 0, :, pl.ds(cb * BLOCK_K, BLOCK_K)]
         posk_x = post_ref[0, 0:1, pl.ds(cb * BLOCK_K, BLOCK_K)]
         posk_y = post_ref[0, 1:2, pl.ds(cb * BLOCK_K, BLOCK_K)]
 
-        s = jax.lax.dot_general(
-            q, kb, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
-        )
+        # geometry + mask shared across heads (see forward kernel)
         dx = jnp.clip(posk_x - posq_x, -REL_POS_WIDTH, REL_POS_WIDTH)
         dy = jnp.clip(posk_y - posq_y, -REL_POS_WIDTH, REL_POS_WIDTH)
         dist = jnp.sqrt(dx * dx + dy * dy)
         safe = jnp.where(dist > 0, dist, 1.0)
         sin = jnp.where(dist > 0, dy / safe, 0.0)
         cos = jnp.where(dist > 0, dx / safe, 0.0)
-        s = s + (dx * w5[0] + dy * w5[1] + dist * w5[2]
-                 + sin * w5[3] + cos * w5[4] + b5)
+        feats = (dx, dy, dist, sin, cos)
 
         col_cid = (
             cb * BLOCK_K
@@ -252,29 +243,49 @@ def _bwd_dq_kernel(
             nc_t = ncq_ref[0, t : t + 1, :].reshape(bq, 1)
             allowed = allowed | (nc_t == col_cid)
 
-        p = jnp.where(allowed, jnp.exp(s - lse), 0.0)            # (BQ, BK)
-        gv = jax.lax.dot_general(
-            g, vb, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
-        )
-        ds = p * (gv - delta)
-        dq_acc = dq_acc + jax.lax.dot_general(
-            ds, kb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
-        )
-        feats = (dx, dy, dist, sin, cos)
-        dr = [dr[f] + jnp.sum(ds * feats[f], axis=1, keepdims=True)
-              for f in range(5)] + [dr[5] + jnp.sum(ds, axis=1, keepdims=True)]
-        return dq_acc, dr
+        new_carry = []
+        for hid in range(h):
+            dq_acc = carry[7 * hid]
+            dr = carry[7 * hid + 1 : 7 * hid + 7]
+            kb = kt_ref[0, hid, :, pl.ds(cb * BLOCK_K, BLOCK_K)]  # (c_, BK)
+            vb = vt_ref[0, hid, :, pl.ds(cb * BLOCK_K, BLOCK_K)]
 
-    dq0 = jnp.zeros((bq, c_), jnp.float32)
-    dr0 = [jnp.zeros((bq, 1), jnp.float32) for _ in range(6)]
-    dq_acc, dr = jax.lax.fori_loop(lo, hi + 1, body, (dq0, dr0))
+            s = jax.lax.dot_general(
+                qs[hid], kb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PREC,
+            )
+            s = s + (dx * w5_ref[hid, 0] + dy * w5_ref[hid, 1]
+                     + dist * w5_ref[hid, 2] + sin * w5_ref[hid, 3]
+                     + cos * w5_ref[hid, 4] + b5_ref[hid, 0])
 
-    dq_ref[0, 0] = dq_acc
-    drow_ref[0, 0] = jnp.zeros((bq, 8), jnp.float32)
-    for f in range(6):
-        drow_ref[0, 0, :, f : f + 1] = dr[f]
+            p = jnp.where(allowed, jnp.exp(s - lses[hid]), 0.0)   # (BQ, BK)
+            gv = jax.lax.dot_general(
+                gs[hid], vb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PREC,
+            )
+            ds = p * (gv - deltas[hid])
+            dq_acc = dq_acc + jax.lax.dot_general(
+                ds, kb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PREC,
+            )
+            new_carry.append(dq_acc)
+            new_carry += [
+                dr[f] + jnp.sum(ds * feats[f], axis=1, keepdims=True)
+                for f in range(5)
+            ] + [dr[5] + jnp.sum(ds, axis=1, keepdims=True)]
+        return tuple(new_carry)
+
+    init = []
+    for _ in range(h):
+        init.append(jnp.zeros((bq, c_), jnp.float32))
+        init += [jnp.zeros((bq, 1), jnp.float32) for _ in range(6)]
+    final = jax.lax.fori_loop(lo, hi + 1, body, tuple(init))
+
+    for hid in range(h):
+        dq_ref[0, hid] = final[7 * hid]
+        drow_ref[0, hid] = jnp.zeros((bq, 8), jnp.float32)
+        for f in range(6):
+            drow_ref[0, hid, :, f : f + 1] = final[7 * hid + 1 + f]
 
 
 def _bwd_dkv_kernel(
@@ -298,16 +309,14 @@ def _bwd_dkv_kernel(
     c_ = qt_ref.shape[2]
     bk = kb_ref.shape[3]
     nnc = nct_ref.shape[1]
+    h = qt_ref.shape[1]
     bi = pl.program_id(0)
-    hid = pl.program_id(1)
-    cbi = pl.program_id(2)
+    cbi = pl.program_id(1)
 
-    kb = kb_ref[0, 0]                                     # (c_, BK)
-    vb = vb_ref[0, 0]
+    kbs = [kb_ref[0, hid] for hid in range(h)]            # h x (c_, BK)
+    vbs = [vb_ref[0, hid] for hid in range(h)]
     posk_x = post_ref[0, 0:1, pl.ds(cbi * BLOCK_K, bk)]   # (1, BK)
     posk_y = post_ref[0, 1:2, pl.ds(cbi * BLOCK_K, bk)]
-    w5 = [w5_ref[hid, i] for i in range(5)]
-    b5 = b5_ref[hid, 0]
     col_cid = (
         cbi * BLOCK_K
         + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
@@ -317,53 +326,63 @@ def _bwd_dkv_kernel(
     rhi = rhi_ref[bi, cbi]
 
     def body(rb, carry):
-        dk_acc, dv_acc = carry
         row = pl.ds(rb * BLOCK_Q, BLOCK_Q)
-        q_r = qt_ref[0, 0, :, row]                        # (c_, BQ)
-        g_r = gt_ref[0, 0, :, row]
-        lse_r = lse_ref[0, 0, 0:1, row].reshape(BLOCK_Q, 1)   # (BQ, 1)
-        delta_r = delta_ref[0, 0, 0:1, row].reshape(BLOCK_Q, 1)
         posq_x = post_ref[0, 0:1, row].reshape(BLOCK_Q, 1)
         posq_y = post_ref[0, 1:2, row].reshape(BLOCK_Q, 1)
 
-        s = jax.lax.dot_general(
-            q_r, kb, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
-        )                                                 # (BQ, BK)
+        # geometry + mask shared across heads (see forward kernel)
         dx = jnp.clip(posk_x - posq_x, -REL_POS_WIDTH, REL_POS_WIDTH)
         dy = jnp.clip(posk_y - posq_y, -REL_POS_WIDTH, REL_POS_WIDTH)
         dist = jnp.sqrt(dx * dx + dy * dy)
         safe = jnp.where(dist > 0, dist, 1.0)
         sin = jnp.where(dist > 0, dy / safe, 0.0)
         cos = jnp.where(dist > 0, dx / safe, 0.0)
-        s = s + (dx * w5[0] + dy * w5[1] + dist * w5[2]
-                 + sin * w5[3] + cos * w5[4] + b5)
 
         allowed = jnp.zeros((BLOCK_Q, bk), jnp.bool_)
         for t in range(nnc):
             nc_t = nct_ref[0, t : t + 1, row].reshape(BLOCK_Q, 1)
             allowed = allowed | (nc_t == col_cid)
 
-        p = jnp.where(allowed, jnp.exp(s - lse_r), 0.0)
-        dv_acc = dv_acc + jax.lax.dot_general(
-            g_r, p, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
-        )                                                 # (c_, BK)
-        gv = jax.lax.dot_general(
-            g_r, vb, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
-        )                                                 # (BQ, BK)
-        ds = p * (gv - delta_r)
-        dk_acc = dk_acc + jax.lax.dot_general(
-            q_r, ds, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
-        )
-        return dk_acc, dv_acc
+        new_carry = []
+        for hid in range(h):
+            dk_acc = carry[2 * hid]
+            dv_acc = carry[2 * hid + 1]
+            q_r = qt_ref[0, hid, :, row]                  # (c_, BQ)
+            g_r = gt_ref[0, hid, :, row]
+            lse_r = lse_ref[0, hid, 0:1, row].reshape(BLOCK_Q, 1)
+            delta_r = delta_ref[0, hid, 0:1, row].reshape(BLOCK_Q, 1)
+
+            s = jax.lax.dot_general(
+                q_r, kbs[hid], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PREC,
+            )                                             # (BQ, BK)
+            s = s + (dx * w5_ref[hid, 0] + dy * w5_ref[hid, 1]
+                     + dist * w5_ref[hid, 2] + sin * w5_ref[hid, 3]
+                     + cos * w5_ref[hid, 4] + b5_ref[hid, 0])
+
+            p = jnp.where(allowed, jnp.exp(s - lse_r), 0.0)
+            dv_acc = dv_acc + jax.lax.dot_general(
+                g_r, p, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PREC,
+            )                                             # (c_, BK)
+            gv = jax.lax.dot_general(
+                g_r, vbs[hid], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PREC,
+            )                                             # (BQ, BK)
+            ds = p * (gv - delta_r)
+            dk_acc = dk_acc + jax.lax.dot_general(
+                q_r, ds, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PREC,
+            )
+            new_carry += [dk_acc, dv_acc]
+        return tuple(new_carry)
 
     z = jnp.zeros((c_, bk), jnp.float32)
-    dk_acc, dv_acc = jax.lax.fori_loop(rlo, rhi + 1, body, (z, z))
-    dk_ref[0, 0] = dk_acc
-    dv_ref[0, 0] = dv_acc
+    final = jax.lax.fori_loop(rlo, rhi + 1, body,
+                              tuple(z for _ in range(2 * h)))
+    for hid in range(h):
+        dk_ref[0, hid] = final[2 * hid]
+        dv_ref[0, hid] = final[2 * hid + 1]
 
 
 def _sfc_attention_forward(
@@ -489,32 +508,32 @@ def _sfc_attention_backward(q, k, v, pos, nc, w5, b5, blank_k, out, blank,
     kernel = functools.partial(_bwd_dq_kernel, cluster_size=cluster_size)
     dq, drow = pl.pallas_call(
         kernel,
-        grid=(b, h, nb),
+        grid=(b, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, BLOCK_Q, c_), lambda bi, hi_, nbi: (bi, hi_, nbi, 0)),
-            pl.BlockSpec((1, 1, c_, n), lambda bi, hi_, nbi: (bi, hi_, 0, 0)),
-            pl.BlockSpec((1, 1, c_, n), lambda bi, hi_, nbi: (bi, hi_, 0, 0)),
-            pl.BlockSpec((1, 2, n), lambda bi, hi_, nbi: (bi, 0, 0)),
-            pl.BlockSpec((1, 2, BLOCK_Q), lambda bi, hi_, nbi: (bi, 0, nbi)),
-            pl.BlockSpec((1, nnc, BLOCK_Q), lambda bi, hi_, nbi: (bi, 0, nbi)),
+            pl.BlockSpec((1, h, BLOCK_Q, c_), lambda bi, nbi: (bi, 0, nbi, 0)),
+            pl.BlockSpec((1, h, c_, n), lambda bi, nbi: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, h, c_, n), lambda bi, nbi: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, 2, n), lambda bi, nbi: (bi, 0, 0)),
+            pl.BlockSpec((1, 2, BLOCK_Q), lambda bi, nbi: (bi, 0, nbi)),
+            pl.BlockSpec((1, nnc, BLOCK_Q), lambda bi, nbi: (bi, 0, nbi)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, BLOCK_Q, c_), lambda bi, hi_, nbi: (bi, hi_, nbi, 0)),
-            pl.BlockSpec((1, 1, BLOCK_Q, 1), lambda bi, hi_, nbi: (bi, hi_, nbi, 0)),
-            pl.BlockSpec((1, 1, BLOCK_Q, 1), lambda bi, hi_, nbi: (bi, hi_, nbi, 0)),
+            pl.BlockSpec((1, h, BLOCK_Q, c_), lambda bi, nbi: (bi, 0, nbi, 0)),
+            pl.BlockSpec((1, h, BLOCK_Q, 1), lambda bi, nbi: (bi, 0, nbi, 0)),
+            pl.BlockSpec((1, h, BLOCK_Q, 1), lambda bi, nbi: (bi, 0, nbi, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, BLOCK_Q, c_), lambda bi, hi_, nbi: (bi, hi_, nbi, 0)),
-            pl.BlockSpec((1, 1, BLOCK_Q, 8), lambda bi, hi_, nbi: (bi, hi_, nbi, 0)),
+            pl.BlockSpec((1, h, BLOCK_Q, c_), lambda bi, nbi: (bi, 0, nbi, 0)),
+            pl.BlockSpec((1, h, BLOCK_Q, 8), lambda bi, nbi: (bi, 0, nbi, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, n, c_), jnp.float32),
             jax.ShapeDtypeStruct((b, h, n, 8), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=24 * 1024 * 1024,
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
     )(lo, hi, q, kt, vt, pos_t, pos_t, nc_t, w5, b5r, g, lse, delta)
 
@@ -525,31 +544,31 @@ def _sfc_attention_backward(q, k, v, pos, nc, w5, b5, blank_k, out, blank,
     delta_t = delta.transpose(0, 1, 3, 2)
     dk_t, dv_t = pl.pallas_call(
         kernel2,
-        grid=(b, h, nbk),
+        grid=(b, nbk),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, c_, n), lambda bi, hi_, cbi: (bi, hi_, 0, 0)),
-            pl.BlockSpec((1, 1, c_, BLOCK_K), lambda bi, hi_, cbi: (bi, hi_, 0, cbi)),
-            pl.BlockSpec((1, 1, c_, BLOCK_K), lambda bi, hi_, cbi: (bi, hi_, 0, cbi)),
-            pl.BlockSpec((1, 2, n), lambda bi, hi_, cbi: (bi, 0, 0)),
-            pl.BlockSpec((1, nnc, n), lambda bi, hi_, cbi: (bi, 0, 0)),
+            pl.BlockSpec((1, h, c_, n), lambda bi, cbi: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, h, c_, BLOCK_K), lambda bi, cbi: (bi, 0, 0, cbi)),
+            pl.BlockSpec((1, h, c_, BLOCK_K), lambda bi, cbi: (bi, 0, 0, cbi)),
+            pl.BlockSpec((1, 2, n), lambda bi, cbi: (bi, 0, 0)),
+            pl.BlockSpec((1, nnc, n), lambda bi, cbi: (bi, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, c_, n), lambda bi, hi_, cbi: (bi, hi_, 0, 0)),
-            pl.BlockSpec((1, 1, 1, n), lambda bi, hi_, cbi: (bi, hi_, 0, 0)),
-            pl.BlockSpec((1, 1, 1, n), lambda bi, hi_, cbi: (bi, hi_, 0, 0)),
+            pl.BlockSpec((1, h, c_, n), lambda bi, cbi: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, h, 1, n), lambda bi, cbi: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, h, 1, n), lambda bi, cbi: (bi, 0, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, c_, BLOCK_K), lambda bi, hi_, cbi: (bi, hi_, 0, cbi)),
-            pl.BlockSpec((1, 1, c_, BLOCK_K), lambda bi, hi_, cbi: (bi, hi_, 0, cbi)),
+            pl.BlockSpec((1, h, c_, BLOCK_K), lambda bi, cbi: (bi, 0, 0, cbi)),
+            pl.BlockSpec((1, h, c_, BLOCK_K), lambda bi, cbi: (bi, 0, 0, cbi)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, c_, n), jnp.float32),
             jax.ShapeDtypeStruct((b, h, c_, n), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=24 * 1024 * 1024,
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
     )(rlo, rhi, qt, kt, vt, pos_t, nc_t, w5, b5r, gt, lse_t, delta_t)
     dk = dk_t.transpose(0, 1, 3, 2)
