@@ -48,14 +48,20 @@ def hungarian_lsap(cost: jnp.ndarray) -> jnp.ndarray:
             minv0 = jnp.full((Q + 1,), _INF)
             way0 = jnp.zeros((Q + 1,), jnp.int32)
             used0 = jnp.zeros((Q + 1,), bool).at[0].set(True)
+            # rows currently in the alternating tree == {p[j] : used[j]}
+            # (used cols map to distinct assigned rows; col 0 holds r).
+            # Tracked densely so the potential update is a vector select —
+            # the scatter-add u.at[p].add(...) serialized on TPU and
+            # dominated the solve.
+            rows_in0 = jnp.zeros((T + 1,), bool).at[r].set(True)
             p = p.at[0].set(r)
 
             def sp_cond(s):
-                _, _, _, _, _, p, j0 = s
+                _, _, _, _, _, _, p, j0 = s
                 return p[j0] > 0
 
             def sp_body(s):
-                minv, way, used, u, v, p, j0 = s
+                minv, way, used, rows_in, u, v, p, j0 = s
                 i0 = p[j0]
                 cur = c[i0] - u[i0] - v                           # (Q+1,)
                 better = (cur < minv) & ~used
@@ -65,16 +71,18 @@ def hungarian_lsap(cost: jnp.ndarray) -> jnp.ndarray:
                 j1 = jnp.argmin(mm).astype(jnp.int32)
                 delta = mm[j1]
                 # grow potentials inside the tree, shrink slack outside
-                u = u.at[p].add(jnp.where(used, delta, 0.0))
+                u = u + jnp.where(rows_in, delta, 0.0)
                 v = jnp.where(used, v - delta, v)
                 minv = jnp.where(used, minv, minv - delta)
                 used = used.at[j1].set(True)
-                return minv, way, used, u, v, p, j1
+                rows_in = rows_in.at[p[j1]].set(True)
+                return minv, way, used, rows_in, u, v, p, j1
 
             # first scan step happens with j0 = 0 (virtual col holding r)
-            minv, way, used, u, v, p, j0 = jax.lax.while_loop(
+            minv, way, used, _, u, v, p, j0 = jax.lax.while_loop(
                 sp_cond, sp_body,
-                (minv0, way0, used0, u, v, p, jnp.zeros((), jnp.int32)),
+                (minv0, way0, used0, rows_in0, u, v, p,
+                 jnp.zeros((), jnp.int32)),
             )
 
             # --- augment: flip the alternating path back to col 0 ---

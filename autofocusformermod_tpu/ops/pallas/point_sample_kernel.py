@@ -84,7 +84,13 @@ def _fwd_kernel(x_ref, y_ref, img_ref, out_ref):
         oh_y, img_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                      # (BP, W)
-    out_ref[0, 0] = jnp.sum(oh_x * tmp, axis=1)
+    # lane-axis reduction on the MXU: sum_x oh_x*tmp == (oh_x*tmp) @ ones —
+    # the VPU shuffle-reduce over (BP, W) lanes dominated the kernel.
+    ones = jnp.ones((w, 1), jnp.float32)
+    out_ref[0, 0] = jax.lax.dot_general(
+        oh_x * tmp, ones, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(bp)
 
 
 def _bwd_kernel(x_ref, y_ref, g_ref, dimg_ref):
@@ -210,6 +216,89 @@ def _ps_bwd(res, g):
 
 
 point_sample_pallas.defvjp(_ps_fwd, _ps_bwd)
+
+
+def _nearest_kernel(cx_ref, cy_ref, img_ref, out_ref):
+    """Nearest-cell read: out[p] = img[cy[p], cx[p]] via single-tap one-hots.
+
+    Half the one-hot-build work of the bilinear kernel (one iota-compare per
+    axis, no fractional weights) and a bf16 single-pass MXU dot — the ranking
+    pass needs only the value, not interpolation.  cx/cy_ref: (1, 1, BP)
+    int32 cell indices, already clamped in-bounds."""
+    h = img_ref.shape[1]
+    w = img_ref.shape[2]
+    bp = cx_ref.shape[2]
+    cx = cx_ref[0, 0:1, :].reshape(bp, 1)
+    cy = cy_ref[0, 0:1, :].reshape(bp, 1)
+    ioh = jax.lax.broadcasted_iota(jnp.int32, (bp, h), 1)
+    iow = jax.lax.broadcasted_iota(jnp.int32, (bp, w), 1)
+    oh_y = (ioh == cy).astype(jnp.bfloat16)                # (BP, H)
+    tmp = jax.lax.dot_general(
+        oh_y, img_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)                                 # (BP, W)
+    oh_x = (iow == cx).astype(jnp.bfloat16)
+    # lane-axis reduction on the MXU: sum_x oh_x*tmp == (oh_x*tmp) @ ones.
+    # The VPU shuffle-reduce over (BP, 128) lanes was the kernel's dominant
+    # cost (~7 passes); the N=1 matmul is ~1 MXU pass.
+    ones = jnp.ones((w, 1), jnp.bfloat16)
+    out_ref[0, 0] = jax.lax.dot_general(
+        oh_x * tmp, ones, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(bp)
+
+
+def _pick_block_p_nearest(p: int, h: int, w: int) -> int:
+    """Like _pick_block_p but for the leaner nearest kernel (bf16 one-hots,
+    no fractional-weight arrays): bigger tiles amortize program overhead."""
+    for bp in (5376, 2688, 1792, 896, 448, 256, 128):
+        if p % bp == 0 and (bp * (h + 2 * w) * 2 + h * w * 4) < 12 * 1024 * 1024:
+            return bp
+    return 0
+
+
+def point_sample_nearest_supported(masks, coords) -> bool:
+    n, h, w = masks.shape
+    p = coords.shape[1]
+    return h % 128 == 0 and w % 128 == 0 and _pick_block_p_nearest(p, h, w) > 0
+
+
+def point_sample_nearest_pallas(masks, coords, interpret: bool = False):
+    """Nearest-cell sample of masks (n, h, w) at normalized coords (n, p, 2)
+    -> (n, p): out[n, p] = masks[n, floor(y*h), floor(x*w)] (clamped).
+
+    Equals bilinear sampling at snapped cell centers (the ranking tap in
+    losses/point_sample.get_uncertain_point_coords_nn_ranked) but ~2x faster:
+    single-tap one-hots and a bf16 MXU pass.  Image values round to bf16 —
+    ranking-only callers tolerate that (selection heuristic); no VJP
+    (ranking runs under stop_gradient)."""
+    n, h, w = masks.shape
+    p = coords.shape[1]
+    cx = jnp.clip((coords[..., 0] * w).astype(jnp.int32), 0, w - 1)[:, None, :]
+    cy = jnp.clip((coords[..., 1] * h).astype(jnp.int32), 0, h - 1)[:, None, :]
+    bp = _pick_block_p_nearest(p, h, w)
+    npt = p // bp
+    out = pl.pallas_call(
+        _nearest_kernel,
+        grid=(n, npt),
+        in_specs=[
+            pl.BlockSpec((1, 1, bp), lambda ni, pt: (ni, 0, pt)),
+            pl.BlockSpec((1, 1, bp), lambda ni, pt: (ni, 0, pt)),
+            pl.BlockSpec((1, h, w), lambda ni, pt: (ni, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bp), lambda ni, pt: (ni, 0, pt)),
+        out_shape=jax.ShapeDtypeStruct((n, 1, p), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * p * h * w,
+            bytes_accessed=n * (h * w + 3 * p) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(cx, cy, masks.astype(jnp.bfloat16))
+    return out[:, 0, :]
 
 
 def snap_to_cell_centers(coords, h, w):

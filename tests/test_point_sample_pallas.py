@@ -93,3 +93,38 @@ def test_point_sample_pallas_tpu_parity():
     np.testing.assert_allclose(
         np.asarray(d), np.asarray(dref), atol=2e-2 * dscale
     )
+
+
+def test_point_sample_nearest_interpret_exact():
+    from autofocusformermod_tpu.ops.pallas.point_sample_kernel import (
+        point_sample_nearest_pallas,
+    )
+
+    rng = np.random.default_rng(6)
+    n, h, w, p = 3, 128, 128, 256
+    masks = jnp.asarray(rng.standard_normal((n, h, w)), jnp.float32)
+    coords = jnp.asarray(rng.uniform(-0.05, 1.05, (n, p, 2)), jnp.float32)
+    out = np.asarray(point_sample_nearest_pallas(masks, coords, interpret=True))
+    cx = np.clip((np.asarray(coords[..., 0]) * w).astype(int), 0, w - 1)
+    cy = np.clip((np.asarray(coords[..., 1]) * h).astype(int), 0, h - 1)
+    ref = np.asarray(masks)[np.arange(n)[:, None], cy, cx]
+    # image values round to bf16 inside the kernel (ranking-only tolerance)
+    np.testing.assert_allclose(out, ref, rtol=1e-2, atol=1e-2)
+
+
+@pytest.mark.skipif(not _tpu(), reason="needs TPU")
+def test_point_sample_nearest_tpu_parity():
+    from autofocusformermod_tpu.ops.pallas.point_sample_kernel import (
+        point_sample_nearest_pallas,
+    )
+
+    rng = np.random.default_rng(7)
+    n, h, w, p = 4, 128, 128, 5376
+    masks = jnp.asarray(rng.standard_normal((n, h, w)), jnp.float32)
+    coords = jnp.asarray(rng.uniform(-0.05, 1.05, (n, p, 2)), jnp.float32)
+    out = np.asarray(jax.jit(point_sample_nearest_pallas)(masks, coords))
+    cx = np.clip((np.asarray(coords[..., 0]) * w).astype(int), 0, w - 1)
+    cy = np.clip((np.asarray(coords[..., 1]) * h).astype(int), 0, h - 1)
+    ref = np.asarray(masks)[np.arange(n)[:, None], cy, cx]
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out, ref, atol=1e-2 * scale)
