@@ -53,6 +53,23 @@ def _uncertain_coords(key, src_flat, num_points, oversample_ratio,
               importance_sample_ratio)
 
 
+def select_matched(pred_masks: jnp.ndarray, matched: jnp.ndarray) -> jnp.ndarray:
+    """Pick the matched query mask per target: (b, q, h, w), (b, t) -> (b, t, h, w).
+
+    A one-hot matmul on the MXU instead of ``take_along_axis``: forward cost
+    is trivial (2*b*t*q*h*w flops) and — the point — the VJP is the
+    *transposed* matmul, where the gather's VJP is a serialized scatter-add
+    into (b, q, h, w) per deep-supervision layer.  HIGHEST precision keeps
+    the {0,1} x value products exact, so this is bit-identical to the gather.
+    """
+    q = pred_masks.shape[1]
+    oh = jax.nn.one_hot(matched, q, dtype=pred_masks.dtype)   # (b, t, q)
+    return jnp.einsum(
+        "btq,bqhw->bthw", oh, pred_masks,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def dice_loss(inputs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     """inputs/targets: (n, p) -> (n,) per-mask dice (criterion.py:17-35)."""
     inputs = jax.nn.sigmoid(inputs)
@@ -108,9 +125,7 @@ def _loss_masks(key, pred_masks, tgt_masks, tgt_valid, matched, num_masks,
     """Single-layer wrapper around _loss_masks_stacked."""
     b, q, h, w = pred_masks.shape
     t = matched.shape[1]
-    src = jnp.take_along_axis(
-        pred_masks, matched[:, :, None, None], axis=1
-    )  # (b, t, h, w)
+    src = select_matched(pred_masks, matched)  # (b, t, h, w)
     src_flat = src.reshape(b * t, h, w)
     H, W = tgt_masks.shape[-2:]
     tgt_flat = tgt_masks.reshape(b * t, H, W).astype(src_flat.dtype)
@@ -198,9 +213,7 @@ def set_criterion(
         for i in idxs:
             pm = all_outputs[i]["pred_masks"]
             srcs.append(
-                jnp.take_along_axis(
-                    pm, matched_all[i][:, :, None, None], axis=1
-                ).reshape(b * t, *shape_hw)
+                select_matched(pm, matched_all[i]).reshape(b * t, *shape_hw)
             )
         src_flat = jnp.concatenate(srcs, axis=0)          # (L*b*t, h, w)
         tgt_flat = jnp.broadcast_to(
@@ -236,7 +249,7 @@ def _loss_masks_downsample(pred_masks, tgt_masks, tgt_valid, matched, num_masks)
     SetCriterionDownSample mask loss (criterion_downsampled.py:134-181)."""
     b, q, h, w = pred_masks.shape
     t = matched.shape[1]
-    src = jnp.take_along_axis(pred_masks, matched[:, :, None, None], axis=1)
+    src = select_matched(pred_masks, matched)
     tgt_small = max_pool_to(tgt_masks.astype(src.dtype), (h, w))
     src_flat = src.reshape(b * t, h * w)
     tgt_flat = tgt_small.reshape(b * t, h * w)
