@@ -115,6 +115,25 @@ def calculate_uncertainty(logits: jnp.ndarray) -> jnp.ndarray:
     return -jnp.abs(logits)
 
 
+def _counter_uniform(seed: jnp.ndarray, ctr: jnp.ndarray) -> jnp.ndarray:
+    """Stateless uniform in [0, 1) from a uint32 counter (murmur3 finalizer).
+
+    The point of a *counter-based* generator: a value can be recomputed from
+    its index alone.  After ``top_k`` picks candidate indices, the winning
+    coordinates are re-derived from the indices with a few VPU ops instead of
+    a row gather of (n, k, 2) from (n, ns, 2) — the gather is row-rate-bound
+    at ~90M rows/s and cost more than the top_k itself (118 ms vs 36 ms
+    measured for the criterion's ranking pass at n=800, ns=37632, k=9408).
+    24-bit mantissa scaling keeps the result strictly below 1.0."""
+    x = (ctr * jnp.uint32(0x9E3779B9)) + seed
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return (x >> 8).astype(jnp.float32) * jnp.float32(2**-24)
+
+
 def get_uncertain_point_coords_nn_ranked(
     key: jax.Array,
     mask_logits: jnp.ndarray,
@@ -143,7 +162,17 @@ def get_uncertain_point_coords_nn_ranked(
     n, h, w = mask_logits.shape
     num_sampled = int(num_points * oversample_ratio)
     k1, k2 = jax.random.split(key)
-    coords = jax.random.uniform(k1, (n, num_sampled, 2))
+    # Counter-hashed candidates (one threefry call for the seeds, then pure
+    # VPU mixing).  Candidates are selection-only randomness — the reference
+    # draws torch.rand here, so there is no bitwise-RNG parity to preserve —
+    # and the counter form lets the top-k winners be recomputed below
+    # instead of gathered (see _counter_uniform).
+    seeds = jax.random.bits(k1, (2,), jnp.uint32)
+    ctr = jnp.arange(n * num_sampled, dtype=jnp.uint32).reshape(n, num_sampled)
+    coords = jnp.stack(
+        [_counter_uniform(seeds[0], ctr), _counter_uniform(seeds[1], ctr)],
+        axis=-1,
+    )
 
     from ..ops.dispatch import fused_attention_available
     from ..ops.pallas.point_sample_kernel import (
@@ -170,7 +199,15 @@ def get_uncertain_point_coords_nn_ranked(
     num_uncertain = int(importance_sample_ratio * num_points)
     num_random = num_points - num_uncertain
     _, idx = jax.lax.top_k(unc, num_uncertain)
-    picked = jnp.take_along_axis(coords, idx[..., None], axis=1)
+    # Recompute the winners from their counters — no (n, k, 2) row gather.
+    ctr_pick = ctr[:, :1] + idx.astype(jnp.uint32)
+    picked = jnp.stack(
+        [
+            _counter_uniform(seeds[0], ctr_pick),
+            _counter_uniform(seeds[1], ctr_pick),
+        ],
+        axis=-1,
+    )
     if num_random > 0:
         rand = jax.random.uniform(k2, (n, num_random, 2))
         picked = jnp.concatenate([picked, rand], axis=1)
