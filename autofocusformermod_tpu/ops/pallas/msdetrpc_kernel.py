@@ -245,6 +245,7 @@ def _kernel_v4(idx_ref, w_ref, val_ref, out_ref, *, level_sizes,
 
 
 _WINDOW_BANDS = 8
+_WINDOW_SLACK = 8
 
 
 def _kernel_v5(idx_ref, w_ref, val_ref, out_ref, acc_ref, *, level_sizes,
@@ -547,6 +548,170 @@ def _bwd_kernel(idx_ref, w_ref, val_ref, g_ref, dval_ref, dw_ref, *,
         off += nj
 
 
+def _bwd_kernel_v2(idx_ref, w_ref, val_ref, g_ref, dval_ref, dw_ref, *,
+                   level_sizes, pairs_per_level, bf16_dots=False):
+    """Backward rebuilt with REGULAR matmuls only.
+
+    v1 (_bwd_kernel) issues per level a q-batched w_mat dot plus, per
+    128-band, a q-batched mat-vec for the dw extraction — Mosaic unrolls
+    batched dots per leading dim (see module dead-ends), so the 4096-token
+    level costs ~33 unrolled-by-128 dot sweeps.  Here each band instead
+    masks the lo one-hot by its hi membership and feeds two well-shaped
+    regular dots:
+
+        w_band[q,lo] = sum_p w[q,p] 1[sel]          (VPU select+reduce)
+        dval[band]  += w_band^T @ g                 ((128,BQ) @ (BQ,c))
+        U[q,p,:]    += sel_f @ val_band             ((BQ*P,128) @ (128,c))
+        dw[q,p]      = U[q,p,:] . g[q,:]            (VPU)
+
+    bf16_dots additionally casts dot inputs to bf16 (fp32 accumulate) —
+    one MXU pass instead of three; gradients under AMP arrive bf16-rounded
+    anyway and the parity budget is the criterion's 2% relative."""
+    q_step = pl.program_id(1)
+    bq = idx_ref.shape[1]
+    p = pairs_per_level
+    g = g_ref[0]                                           # (BQ, c_)
+    dt = jnp.bfloat16 if bf16_dots else jnp.float32
+    g_d = g.astype(dt)
+
+    @pl.when(q_step == 0)
+    def _():
+        dval_ref[0] = jnp.zeros_like(dval_ref[0])
+
+    off = 0
+    for j, nj in enumerate(level_sizes):
+        hi_n = nj // 128
+        idx_j = idx_ref[0, :, j, :] - off                  # (BQ, P) local
+        w_j = w_ref[0, :, j, :]
+        hi = idx_j // 128
+        lo = idx_j - hi * 128
+        lo_match = (
+            lo[:, :, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (bq, p, 128), 2)
+        )                                                  # (BQ, P, 128)
+        hi_b = hi[:, :, None]        # int32: minor-dim insert is supported
+        u_acc = jnp.zeros((bq, p, val_ref.shape[2]), jnp.float32)
+        for hi_idx in range(hi_n):
+            sel = lo_match & (hi_b == hi_idx)
+            sel_f = sel.astype(dt)
+            w_band = jnp.sum(
+                jnp.where(sel, w_j[:, :, None], 0.0), axis=1
+            )                                              # (BQ, 128)
+            sl = slice(off + hi_idx * 128, off + (hi_idx + 1) * 128)
+            dval_ref[0, sl, :] += jax.lax.dot_general(
+                w_band.astype(dt), g_d, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                              # (128, c_)
+            u_acc = u_acc + jax.lax.dot_general(
+                sel_f, val_ref[0, sl, :].astype(dt),
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                              # (BQ, P, c_)
+        dw_ref[0, :, j, :] = jnp.sum(u_acc * g[:, None, :], axis=-1)
+        off += nj
+
+
+def _bwd_kernel_v4(idx_ref, w_ref, val_ref, g_ref, dval_ref, dw_ref, *,
+                   level_sizes, pairs_per_level, window=None, n_pad=None):
+    """v2 backward with per-(block, level) band WINDOWING (exact).
+
+    Unlike the forward (where windowing bought ~1% because the one-hot
+    build is hoisted out of the band loop), the v2 backward does its
+    select/reduce VPU work AND its two dots inside the band loop — so
+    skipping the empty bands of a spatially-local query block cuts both.
+    Window = _WINDOW_BANDS bands rebased at min(hi); full-width fallback
+    when the spread doesn't fit (bit-identical numerics either way)."""
+    q_step = pl.program_id(1)
+    bq = idx_ref.shape[1]
+    p = pairs_per_level
+    g = g_ref[0]                                           # (BQ, c_)
+    c_ = val_ref.shape[2]
+
+    @pl.when(q_step == 0)
+    def _():
+        dval_ref[0] = jnp.zeros_like(dval_ref[0])
+
+    off = 0
+    for j, nj in enumerate(level_sizes):
+        hi_n = nj // 128
+        if window is None and n_pad is not None:
+            # expected band footprint of one spatially-contiguous 128-query
+            # block in level j, plus measured jitter slack: real spreads at
+            # 512x512 are p95 = expected+6..8 bands (learned offsets +
+            # Shepard 4-NN in adaptive token order + cluster-boundary
+            # blocks; /tmp spread probe r2) — slack 8 keeps ~95% of blocks
+            # on the fast path; the full-width fallback keeps misses exact
+            kw = -(-bq * nj // n_pad) // 128 + _WINDOW_SLACK
+            # dynamic (dslice) bands cost ~1.5-3x a static band, so window
+            # only when it skips at least half the level
+            if kw > hi_n // 2:
+                kw = hi_n
+        else:
+            kw = _WINDOW_BANDS if window is None else window
+        idx_j = idx_ref[0, :, j, :] - off                  # (BQ, P) local
+        w_j = w_ref[0, :, j, :]
+        hi = idx_j // 128
+        lo = idx_j - hi * 128
+        lo_match = (
+            lo[:, :, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (bq, p, 128), 2)
+        )
+        hi_b = hi[:, :, None]
+
+        def _bands(band_starts, hi_vals, u0):
+            """band_starts[i]: dynamic row offset; hi_vals[i]: hi id."""
+            u_acc = u0
+            for start, hval in zip(band_starts, hi_vals):
+                sel = lo_match & (hi_b == hval)
+                sel_f = sel.astype(jnp.float32)
+                w_band = jnp.sum(
+                    jnp.where(sel, w_j[:, :, None], 0.0), axis=1
+                )
+                dval_ref[0, pl.dslice(start, 128), :] += jax.lax.dot_general(
+                    w_band, g, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                u_acc = u_acc + jax.lax.dot_general(
+                    sel_f, val_ref[0, pl.dslice(start, 128), :],
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            return u_acc
+
+        if hi_n <= kw:
+            u_acc = _bands(
+                [off + i * 128 for i in range(hi_n)], list(range(hi_n)),
+                jnp.zeros((bq, p, c_), jnp.float32),
+            )
+            dw_ref[0, :, j, :] = jnp.sum(u_acc * g[:, None, :], axis=-1)
+            off += nj
+            continue
+
+        base = jnp.min(hi)
+        fits = (jnp.max(hi) - base) < kw
+        # branch arms are effectful (dval writes); route dw through a ref
+        dw_ref[0, :, j, :] = jnp.zeros((bq, p), jnp.float32)
+
+        @pl.when(fits)
+        def _fast(base=base, off=off):
+            u_acc = _bands(
+                [off + (base + i) * 128 for i in range(kw)],
+                [base + i for i in range(kw)],
+                jnp.zeros((bq, p, c_), jnp.float32),
+            )
+            dw_ref[0, :, j, :] = jnp.sum(u_acc * g[:, None, :], axis=-1)
+
+        @pl.when(jnp.logical_not(fits))
+        def _full(off=off, hi_n=hi_n):
+            u_acc = _bands(
+                [off + i * 128 for i in range(hi_n)], list(range(hi_n)),
+                jnp.zeros((bq, p, c_), jnp.float32),
+            )
+            dw_ref[0, :, j, :] = jnp.sum(u_acc * g[:, None, :], axis=-1)
+
+        off += nj
+
+
 def _pad_to(x, mult, axis, value=0):
     pad = (-x.shape[axis]) % mult
     if pad == 0:
@@ -712,9 +877,31 @@ def _fwd(nn_idx, nn_weight, attn, val, level_sizes):
     )
 
 
+def _bwd_kernel_by_version(version: int, level_sizes, pairs: int,
+                           n_pad: int | None = None):
+    if version == 1:
+        return functools.partial(
+            _bwd_kernel, level_sizes=tuple(level_sizes), pairs_per_level=pairs,
+        )
+    if version in (4, 5, 6):
+        return functools.partial(
+            _bwd_kernel_v4, level_sizes=tuple(level_sizes),
+            pairs_per_level=pairs,
+            window={4: 8, 5: 4, 6: None}[version], n_pad=n_pad,
+        )
+    return functools.partial(
+        _bwd_kernel_v2, level_sizes=tuple(level_sizes), pairs_per_level=pairs,
+        bf16_dots=(version == 3),
+    )
+
+
+BWD_VERSION = 6
+
+
 def msdetrpc_pallas_bwd_impl(nn_idx, nn_weight, attn, val, g,
                              level_sizes: Tuple[int, ...],
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             version: int | None = None):
     """Pallas VJP: returns (d_nn_weight, d_attn, d_val)."""
     bh, n, m, kk = nn_idx.shape
     ntot, c_ = val.shape[1:]
@@ -728,8 +915,8 @@ def msdetrpc_pallas_bwd_impl(nn_idx, nn_weight, attn, val, g,
     val_f = val.astype(jnp.float32)
     g_f = _pad_to(g.astype(jnp.float32), BLOCK_Q, 1, value=0.0)
 
-    kernel = functools.partial(
-        _bwd_kernel, level_sizes=tuple(level_sizes), pairs_per_level=pairs,
+    kernel = _bwd_kernel_by_version(
+        BWD_VERSION if version is None else version, level_sizes, pairs, n_pad
     )
     dval, dwr = pl.pallas_call(
         kernel,
@@ -834,8 +1021,86 @@ def _kernel_v8(*args, level_sizes, pairs_per_level):
     out_ref[0] = acc
 
 
+def _kernel_v9(*args, level_sizes, pairs_per_level, n_pad):
+    """v8 with per-band masked reduce + adaptive band WINDOWING (exact).
+
+    Replaces v8's q-batched w_mat dot (Mosaic unrolls batched dots per
+    leading dim) with a per-band VPU select+reduce, and — the real win —
+    skips the hi-bands a spatially-contiguous query block never touches:
+    window = ceil(BQ*nj/n/128)+3 bands rebased at min(hi), full-width
+    fallback when the spread doesn't fit (bit-identical either way).  Same
+    restructure as _bwd_kernel_v4, measured there at -54% per layer."""
+    n_levels = len(level_sizes)
+    idx_refs = args[:n_levels]
+    w_refs = args[n_levels : 2 * n_levels]
+    val_ref = args[2 * n_levels]
+    out_ref = args[2 * n_levels + 1]
+    acc_ref = args[2 * n_levels + 2]
+    bq = out_ref.shape[1]
+    p = pairs_per_level
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    off = 0
+    for j, nj in enumerate(level_sizes):
+        hi_n = nj // 128
+        kw = -(-bq * nj // n_pad) // 128 + _WINDOW_SLACK
+        if kw > hi_n // 2:       # see _bwd_kernel_v4: dynamic bands cost more
+            kw = hi_n
+        idx_j = idx_refs[j][0]                             # (BQ, P) local
+        w_j = w_refs[j][0]
+        hi = idx_j // 128
+        lo = idx_j - hi * 128
+        lo_match = (
+            lo[:, :, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (bq, p, 128), 2)
+        )
+        hi_b = hi[:, :, None]
+
+        def _bands(band_starts, hi_vals):
+            for start, hval in zip(band_starts, hi_vals):
+                sel = lo_match & (hi_b == hval)
+                w_band = jnp.sum(
+                    jnp.where(sel, w_j[:, :, None], 0.0), axis=1
+                )                                          # (BQ, 128)
+                acc_ref[...] += jax.lax.dot_general(
+                    w_band, val_ref[0, pl.dslice(start, 128), :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+        if hi_n <= kw:
+            _bands([off + i * 128 for i in range(hi_n)], list(range(hi_n)))
+            off += nj
+            continue
+
+        base = jnp.min(hi)
+        fits = (jnp.max(hi) - base) < kw
+
+        @pl.when(fits)
+        def _fast(base=base, off=off):
+            _bands(
+                [off + (base + i) * 128 for i in range(kw)],
+                [base + i for i in range(kw)],
+            )
+
+        @pl.when(jnp.logical_not(fits))
+        def _full(off=off, hi_n=hi_n):
+            _bands([off + i * 128 for i in range(hi_n)], list(range(hi_n)))
+
+        off += nj
+    out_ref[0] = acc_ref[...]
+
+
+FWD_VERSION = 8   # v9 (windowed, like the backward) measured net-negative on
+# the real model: at the measured spread (+8 bands slack) the forward's
+# dynamic-slice bands cost back what the skipping saves (18.49 vs 18.76 im/s
+# end to end); the backward wins because its per-band work is ~3 dots + the
+# select/reduce VPU build, all skipped per band, vs the forward's single dot
+
+
 def msdetrpc_pallas_levels_impl(idxs, ws, val, level_sizes: Tuple[int, ...],
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                version: int | None = None):
     """Per-level forward: idxs/ws are per-level (bh, n, pairs) arrays with
     LEVEL-LOCAL indices and attention already folded into the weights."""
     bh, n, pairs = idxs[0].shape
@@ -848,12 +1113,29 @@ def msdetrpc_pallas_levels_impl(idxs, ws, val, level_sizes: Tuple[int, ...],
     nqb = n_pad // BLOCK_Q
     val_f = val.astype(jnp.float32)
 
+    version = FWD_VERSION if version is None else version
+    if version == 0:
+        # windowing pays when many bands can be skipped (large n: queries
+        # per block span few bands); at small n the dynamic branch overhead
+        # loses to v8's static sweep (measured 9.5 vs 10.9 ms at n=4096,
+        # 1.34 vs 0.94 ms at n=256)
+        version = 9 if n >= 2048 else 8
+    if version == 9:
+        kernel = functools.partial(
+            _kernel_v9, level_sizes=tuple(level_sizes),
+            pairs_per_level=pairs, n_pad=n_pad,
+        )
+        scratch = [pltpu.VMEM((BLOCK_Q, c_), jnp.float32)]
+    else:
+        kernel = functools.partial(
+            _kernel_v8, level_sizes=tuple(level_sizes), pairs_per_level=pairs,
+        )
+        scratch = []
+
     lvl_spec = pl.BlockSpec((1, BLOCK_Q, pairs), lambda b, q: (b, q, 0),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(
-            _kernel_v8, level_sizes=tuple(level_sizes), pairs_per_level=pairs,
-        ),
+        kernel,
         grid=(bh, nqb),
         in_specs=[lvl_spec] * (2 * n_levels) + [
             pl.BlockSpec((1, ntot, c_), lambda b, q: (b, 0, 0),
@@ -862,6 +1144,7 @@ def msdetrpc_pallas_levels_impl(idxs, ws, val, level_sizes: Tuple[int, ...],
         out_specs=pl.BlockSpec((1, BLOCK_Q, c_), lambda b, q: (b, q, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, n_pad, c_), jnp.float32),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -914,9 +1197,7 @@ def _bwd_levels(level_sizes, res, g):
     g_f = _pad_to(g.astype(jnp.float32), BLOCK_Q, 1, value=0.0)
 
     dval, dwr = pl.pallas_call(
-        functools.partial(
-            _bwd_kernel, level_sizes=tuple(level_sizes), pairs_per_level=pairs,
-        ),
+        _bwd_kernel_by_version(BWD_VERSION, level_sizes, pairs, n_pad),
         grid=(bh, nqb),
         in_specs=[
             pl.BlockSpec((1, BLOCK_Q, n_levels, pairs), lambda b, q: (b, q, 0, 0),

@@ -59,8 +59,10 @@ def test_msdetrpc_pallas_v2_interpret_exact():
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
-def test_msdetrpc_pallas_bwd_interpret_exact():
-    """VJP kernel (d_val accumulate, one-hot d_w extraction) exact in fp32
+@pytest.mark.parametrize("version", [1, 2, 4, 6])
+def test_msdetrpc_pallas_bwd_interpret_exact(version):
+    """VJP kernel variants (v1 batched-dot extraction; v2 per-band masked
+    reduce; v4/v6 windowed with full-width fallback) exact in fp32
     interpret mode against the XLA composition's autodiff."""
     from autofocusformermod_tpu.ops.clusten import msdetrpc
     from autofocusformermod_tpu.ops.pallas.msdetrpc_kernel import (
@@ -78,7 +80,7 @@ def test_msdetrpc_pallas_bwd_interpret_exact():
     )
     dw_ref, da_ref, dv_ref = vjp(g)
     dw, da, dv = msdetrpc_pallas_bwd_impl(
-        nn_idx, nn_w, attn, val, g, sizes, interpret=True
+        nn_idx, nn_w, attn, val, g, sizes, interpret=True, version=version
     )
     np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
                                rtol=1e-4, atol=1e-4)
@@ -149,8 +151,10 @@ def _to_levels(nn_idx, nn_w, attn, sizes):
     return tuple(idxs), tuple(ws)
 
 
-def test_msdetrpc_pallas_levels_interpret_exact():
-    """Per-level-input kernel (v8) matches the XLA reference in fp32."""
+@pytest.mark.parametrize("version", [8, 9])
+def test_msdetrpc_pallas_levels_interpret_exact(version):
+    """Per-level-input kernels (v8 static sweep, v9 windowed masked-reduce)
+    match the XLA reference in fp32."""
     from autofocusformermod_tpu.ops.clusten import msdetrpc
     from autofocusformermod_tpu.ops.pallas.msdetrpc_kernel import (
         msdetrpc_pallas_levels_impl,
@@ -166,7 +170,7 @@ def test_msdetrpc_pallas_levels_interpret_exact():
     idxs, ws = _to_levels(nn_idx, nn_w, attn, sizes)
     out = np.asarray(
         msdetrpc_pallas_levels_impl(idxs, ws, jnp.asarray(val), sizes,
-                                    interpret=True)
+                                    interpret=True, version=version)
     )
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
