@@ -301,6 +301,79 @@ def point_sample_nearest_pallas(masks, coords, interpret: bool = False):
     return out[:, 0, :]
 
 
+# Row-stratified nearest kernel: one program per mask (the chunk dim is not
+# 8-divisible — 294 = 2*3*7^2 — so the block takes the full dimension, which
+# Pallas allows regardless of divisibility; 294 unrolled chunk bodies of ~6
+# vector ops each compile and pipeline fine)
+
+
+def _nearest_rows_kernel(cx_ref, cy_ref, img_ref, out_ref, *, h, chunks):
+    """Nearest read for Y-STRATIFIED candidates: chunk c's points all lie in
+    the y-sliver [c/chunks, (c+1)/chunks), which spans at most two adjacent
+    image rows r0, r0+1 with r0 = c*h//chunks — so each 128-point chunk is
+    two single-vreg lane gathers (tpu.dynamic_gather via take_along_axis)
+    plus a row select.  No one-hots, no window search, no MXU.
+
+    cx/cy_ref: (1, G, 128) int32 cell coords; img_ref: (1, H, W);
+    out_ref: (1, G, 128).  ~5x the one-hot _nearest_kernel (71 -> ~14 ms on
+    the criterion ranking pass at N=800)."""
+    g = cx_ref.shape[1]
+    for c in range(g):
+        i = c
+        r0 = min(c * h // chunks, h - 2)
+        rows = img_ref[0, r0 : r0 + 2, :]                  # (2, W) static
+
+        cx = cx_ref[0, i, :]                               # (128,)
+        cy = cy_ref[0, i, :]
+        got = jnp.take_along_axis(
+            rows, jnp.broadcast_to(cx[None, :], (2, 128)), axis=1
+        )                                                  # (2, 128)
+        out_ref[0, i, :] = jnp.where(cy == r0, got[0], got[1])
+
+
+def point_sample_nearest_rows_supported(n, h, w, p) -> bool:
+    chunks = p // 128
+    return (
+        p % 128 == 0
+        and w % 128 == 0
+        and h >= 2
+        and chunks >= h          # sliver spans <= 2 rows only then
+    )
+
+
+def point_sample_nearest_rows_pallas(masks, cx, cy, interpret: bool = False):
+    """Row-stratified nearest read: masks (n, h, w); cx/cy (n, chunks, 128)
+    int32 cell coords with chunk c's cy in {c*h//chunks, c*h//chunks + 1}
+    (clamped in-bounds) -> (n, chunks, 128) f32 values.
+
+    Contract: callers generate candidate y stratified per chunk
+    (y = (c + u)/chunks), which keeps the marginal distribution exactly
+    uniform while pinning each chunk to a known pair of rows."""
+    n, h, w = masks.shape
+    chunks = cx.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_nearest_rows_kernel, h=h, chunks=chunks),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, chunks, 128), lambda ni: (ni, 0, 0)),
+            pl.BlockSpec((1, chunks, 128), lambda ni: (ni, 0, 0)),
+            pl.BlockSpec((1, h, w), lambda ni: (ni, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, chunks, 128), lambda ni: (ni, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, chunks, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=n * chunks * 128 * 4,
+            bytes_accessed=n * (h * w + 3 * chunks * 128) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(cx.astype(jnp.int32), cy.astype(jnp.int32), masks.astype(jnp.float32))
+    return out
+
+
 def snap_to_cell_centers(coords, h, w):
     """Snap normalized coords to their cell centers: bilinear sampling at the
     snapped coords is exactly the 1-tap nearest-cell read (the ranking pass)."""

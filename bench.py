@@ -150,10 +150,11 @@ def _full_details(primary_ips, batch, iters, warmup):
         details["aff_small_infer_512"] = {"error": str(e)[:200]}
     flush()
     try:
-        # batch 4 is the best measured train operating point (the fused
-        # Pallas backward kernels removed the HBM OOM that previously
-        # limited the step to batch 2; batch 8 measures slightly worse)
-        train_ips = _bench_train_step(_flagship_cfg(), min(batch, 4),
+        # batch 8 is the best measured train operating point (5.47 vs 5.29
+        # im/s at batch 4 with the windowed backward kernel; batch 16 OOMs
+        # HBM by ~270M of 15.75G — remat would fit it but b8->b16 gains
+        # were already marginal)
+        train_ips = _bench_train_step(_flagship_cfg(), 8,
                                       max(iters // 2, 3), warmup)
         details["aff_mini_train_512"] = {"images_per_sec_chip": round(train_ips, 3)}
     except Exception as e:

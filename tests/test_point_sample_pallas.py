@@ -128,3 +128,46 @@ def test_point_sample_nearest_tpu_parity():
     ref = np.asarray(masks)[np.arange(n)[:, None], cy, cx]
     scale = np.abs(ref).max()
     np.testing.assert_allclose(out, ref, atol=1e-2 * scale)
+
+
+def test_point_sample_nearest_rows_interpret_exact():
+    """Row-stratified nearest kernel: exact (fp32 lane gathers) vs direct
+    indexing when each chunk's cy spans its two pinned rows."""
+    from autofocusformermod_tpu.ops.pallas.point_sample_kernel import (
+        point_sample_nearest_rows_pallas,
+        point_sample_nearest_rows_supported,
+    )
+
+    rng = np.random.default_rng(8)
+    n, h, w = 3, 128, 128
+    chunks = 294          # = 37632 / 128, the criterion ranking shape
+    assert point_sample_nearest_rows_supported(n, h, w, chunks * 128)
+    masks = jnp.asarray(rng.standard_normal((n, h, w)), jnp.float32)
+    u = rng.uniform(size=(n, chunks, 128))
+    ys = (np.arange(chunks)[None, :, None] + u) / chunks
+    cy = np.clip((ys * h).astype(np.int32), 0, h - 1)
+    cx = rng.integers(0, w, (n, chunks, 128)).astype(np.int32)
+    out = np.asarray(
+        point_sample_nearest_rows_pallas(
+            masks, jnp.asarray(cx), jnp.asarray(cy), interpret=True
+        )
+    )
+    ref = np.asarray(masks)[np.arange(n)[:, None, None], cy, cx]
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_stratified_ranking_marginals():
+    """Stratified candidate y (as generated by the ranked sampler) has an
+    exactly uniform marginal: equal counts per equal-height band."""
+    from autofocusformermod_tpu.losses.point_sample import _counter_uniform
+
+    ns, chunks = 37632, 294
+    j = np.arange(ns)
+    u = np.asarray(
+        _counter_uniform(jnp.uint32(7), jnp.arange(ns, dtype=jnp.uint32))
+    )
+    y = (j // 128 + u) / chunks
+    counts, _ = np.histogram(y, bins=16, range=(0.0, 1.0))
+    # 294 chunks over 16 bands: band counts within one chunk of each other
+    assert counts.min() >= (ns // 16) - 128 and counts.max() <= (ns // 16) + 128
+    assert 0.0 <= y.min() and y.max() < 1.0
