@@ -371,6 +371,11 @@ def add_maskformer2_config(cfg: CN) -> None:
 
     cfg.TEST.SW_STRIDE = [768, 768]
     cfg.TEST.SW_CROP_SIZE = [1024, 1024]
+    # Engine-level sliding-window eval toggle: the MaskFinerOracleTeacherSW
+    # meta-arch always slides (reference maskfiner_oracle_teacher_model_sw.py
+    # hard-codes it in forward_eval); -SW base configs set this for other
+    # archs sharing the SW recipe.
+    cfg.TEST.SW_ENABLED = False
 
 
 def add_deeplab_config(cfg: CN) -> None:

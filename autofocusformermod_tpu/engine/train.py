@@ -446,14 +446,32 @@ class Trainer:
             masks = upsample_masks(out["pred_masks"], (h, w))[0]
             return out["pred_logits"][0], masks
 
+        # Sliding-window eval (reference
+        # maskfiner_oracle_teacher_model_sw.py:207-292): per-crop forward +
+        # count-normalized logit stitching.  The SW meta-arch always uses it;
+        # other archs opt in via TEST.SW_ENABLED (set by the -SW base yamls).
+        sw_enabled = (arch == "MaskFinerOracleTeacherSW"
+                      or bool(getattr(cfg.TEST, "SW_ENABLED", False)))
+
+        def predict_scores_crop(crop: np.ndarray) -> jnp.ndarray:
+            logits, masks = predict(variables, jnp.asarray(crop))
+            return semantic_inference(logits, masks)
+
         def predict_scores(img: np.ndarray) -> np.ndarray:
             """image (h, w, 3) -> semantic class scores (nc, h, w)."""
             h, w = img.shape[:2]
             ph = -(-h // div) * div
             pw = -(-w // div) * div
             img_p = np.pad(img, ((0, ph - h), (0, pw - w), (0, 0)))
-            logits, masks = predict(variables, jnp.asarray(img_p))
-            sem = semantic_inference(logits, masks)
+            if sw_enabled:
+                from ..models.inference import sliding_window_semantic_scores
+
+                sem = sliding_window_semantic_scores(
+                    predict_scores_crop, img_p,
+                    cfg.TEST.SW_CROP_SIZE, cfg.TEST.SW_STRIDE,
+                )
+            else:
+                sem = predict_scores_crop(img_p)
             return sem[:, :h, :w]
 
         if cfg.TEST.AUG.ENABLED:

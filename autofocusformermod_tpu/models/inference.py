@@ -178,6 +178,55 @@ def instance_inference(
     }
 
 
+def sliding_window_grid(img_hw, crop_hw, stride_hw) -> List[Tuple[int, int, int, int]]:
+    """Crop windows (y1, x1, y2, x2) covering the padded image, mirroring the
+    reference grid (maskfiner_oracle_teacher_model_sw.py:217-243): when the
+    crop exceeds the image the crop/stride collapse to min(h, w); edge crops
+    are shifted inward so every window is exactly crop-sized (static shape —
+    one XLA compilation covers all windows)."""
+    h_img, w_img = int(img_hw[0]), int(img_hw[1])
+    h_crop, w_crop = int(crop_hw[0]), int(crop_hw[1])
+    h_stride, w_stride = int(stride_hw[0]), int(stride_hw[1])
+    if h_crop > h_img or w_crop > w_img:
+        sw = min(h_img, w_img)
+        h_crop = w_crop = h_stride = w_stride = sw
+    h_grids = max(h_img - h_crop + h_stride - 1, 0) // h_stride + 1
+    w_grids = max(w_img - w_crop + w_stride - 1, 0) // w_stride + 1
+    windows = []
+    for h_idx in range(h_grids):
+        for w_idx in range(w_grids):
+            y2 = min(h_idx * h_stride + h_crop, h_img)
+            x2 = min(w_idx * w_stride + w_crop, w_img)
+            y1 = max(y2 - h_crop, 0)
+            x1 = max(x2 - w_crop, 0)
+            windows.append((y1, x1, y2, x2))
+    return windows
+
+
+def sliding_window_semantic_scores(score_fn, image: np.ndarray, crop_hw,
+                                   stride_hw) -> np.ndarray:
+    """Sliding-window semantic inference with count-normalized stitching
+    (reference maskfiner_oracle_teacher_model_sw.py:207-292).
+
+    ``score_fn(crop (hc, wc, 3)) -> (nc, hc, wc)`` per-crop semantic class
+    scores; overlapping windows are summed into a full-image canvas and
+    divided by the visit count.  All crops share one static shape, so the
+    jitted model compiles once; accumulation happens on host in fp32.
+    """
+    h_img, w_img = image.shape[:2]
+    windows = sliding_window_grid((h_img, w_img), crop_hw, stride_hw)
+    preds = None
+    count = np.zeros((1, h_img, w_img), np.float32)
+    for (y1, x1, y2, x2) in windows:
+        crop_scores = np.asarray(score_fn(image[y1:y2, x1:x2]), np.float32)
+        if preds is None:
+            preds = np.zeros((crop_scores.shape[0], h_img, w_img), np.float32)
+        preds[:, y1:y2, x1:x2] += crop_scores
+        count[:, y1:y2, x1:x2] += 1.0
+    assert (count == 0).sum() == 0
+    return preds / count
+
+
 def sem_seg_postprocess(result: jnp.ndarray, img_hw, out_hw) -> jnp.ndarray:
     """Crop the padded prediction to the real image region and resize to the
     output size (detectron2 sem_seg_postprocess used at maskformer_model.py:241).

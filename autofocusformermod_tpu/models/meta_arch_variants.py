@@ -160,9 +160,11 @@ class MaskFinerOracleTeacherBB(nn.Module):
     final-stage head (MaskFinerOTHead = final-index pixel decoder + final
     transformer decoder, reference mask_finer_ot_head.py:88-112).
 
-    The SW variant (maskfiner_oracle_teacher_model_sw.py) is the same module
-    with sliding-window evaluation (TEST.SW_STRIDE/SW_CROP_SIZE) applied by
-    the engine at eval time."""
+    The SW variant (maskfiner_oracle_teacher_model_sw.py:207-292) is the
+    same module with sliding-window evaluation (TEST.SW_STRIDE/SW_CROP_SIZE,
+    count-normalized stitching) applied by the engine's sem-seg eval loop
+    (engine/train.py Trainer._eval_sem_seg via
+    models/inference.sliding_window_semantic_scores)."""
 
     backbone: nn.Module
     pixel_decoder: nn.Module
