@@ -145,9 +145,11 @@ def register_all_builtin(root: str = "") -> None:
     from .datasets_coco import (
         register_cityscapes_panoptic,
         register_coco,
+        register_coco_stuff_171,
         register_coco_stuff_semseg,
     )
 
     register_coco(root)
     register_coco_stuff_semseg(root)
+    register_coco_stuff_171(root)
     register_cityscapes_panoptic(root)

@@ -172,6 +172,84 @@ def load_cityscapes_panoptic(image_dir: str, gt_json: str, gt_dir: str) -> List[
     return out
 
 
+
+# COCO-stuff-171 category table (reference register_coco_stuff_semseg.py:
+# COCO_CATEGORIES — 80 things + 91 stuff, raw ids 1..182 with the 11 unused
+# thing ids absent).  PNG pixel values are caffe-shifted: dataset_id = id-1.
+COCO_STUFF_171_IDS = [
+    1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16, 17, 18, 19, 20, 21,
+    22, 23, 24, 25, 27, 28, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40, 41,
+    42, 43, 44, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58, 59,
+    60, 61, 62, 63, 64, 65, 67, 70, 72, 73, 74, 75, 76, 77, 78, 79, 80,
+    81, 82, 84, 85, 86, 87, 88, 89, 90, 92, 93, 94, 95, 96, 97, 98, 99,
+    100, 101, 102, 103, 104, 105, 106, 107, 108, 109, 110, 111, 112, 113,
+    114, 115, 116, 117, 118, 119, 120, 121, 122, 123, 124, 125, 126, 127,
+    128, 129, 130, 131, 132, 133, 134, 135, 136, 137, 138, 139, 140, 141,
+    142, 143, 144, 145, 146, 147, 148, 149, 150, 151, 152, 153, 154, 155,
+    156, 157, 158, 159, 160, 161, 162, 163, 164, 165, 166, 167, 168, 169,
+    170, 171, 172, 173, 174, 175, 176, 177, 178, 179, 180, 181, 182,
+]
+COCO_STUFF_171_NAMES = [
+    "person", "bicycle", "car", "motorcycle", "airplane", "bus", "train",
+    "truck", "boat", "traffic light", "fire hydrant", "stop sign",
+    "parking meter", "bench", "bird", "cat", "dog", "horse", "sheep",
+    "cow", "elephant", "bear", "zebra", "giraffe", "backpack", "umbrella",
+    "handbag", "tie", "suitcase", "frisbee", "skis", "snowboard",
+    "sports ball", "kite", "baseball bat", "baseball glove", "skateboard",
+    "surfboard", "tennis racket", "bottle", "wine glass", "cup", "fork",
+    "knife", "spoon", "bowl", "banana", "apple", "sandwich", "orange",
+    "broccoli", "carrot", "hot dog", "pizza", "donut", "cake", "chair",
+    "couch", "potted plant", "bed", "dining table", "toilet", "tv",
+    "laptop", "mouse", "remote", "keyboard", "cell phone", "microwave",
+    "oven", "toaster", "sink", "refrigerator", "book", "clock", "vase",
+    "scissors", "teddy bear", "hair drier", "toothbrush", "banner",
+    "blanket", "branch", "bridge", "building-other", "bush", "cabinet",
+    "cage", "cardboard", "carpet", "ceiling-other", "ceiling-tile",
+    "cloth", "clothes", "clouds", "counter", "cupboard", "curtain",
+    "desk-stuff", "dirt", "door-stuff", "fence", "floor-marble",
+    "floor-other", "floor-stone", "floor-tile", "floor-wood", "flower",
+    "fog", "food-other", "fruit", "furniture-other", "grass", "gravel",
+    "ground-other", "hill", "house", "leaves", "light", "mat", "metal",
+    "mirror-stuff", "moss", "mountain", "mud", "napkin", "net", "paper",
+    "pavement", "pillow", "plant-other", "plastic", "platform",
+    "playingfield", "railing", "railroad", "river", "road", "rock",
+    "roof", "rug", "salad", "sand", "sea", "shelf", "sky-other",
+    "skyscraper", "snow", "solid-other", "stairs", "stone", "straw",
+    "structural-other", "table", "tent", "textile-other", "towel", "tree",
+    "vegetable", "wall-brick", "wall-concrete", "wall-other",
+    "wall-panel", "wall-stone", "wall-tile", "wall-wood", "water-other",
+    "waterdrops", "window-blind", "window-other", "wood",
+]
+
+
+def register_coco_stuff_171(root: str) -> None:
+    """True COCO-stuff semantic datasets (reference
+    register_coco_stuff_semseg.py:201-223): 171 classes over semseg_*2017
+    pngs whose pixel values are caffe-shifted raw ids (id-1), consumed by
+    the coco_semantic/coco_semantic2 mappers which remap them to contiguous
+    [0, 171) and send removed classes to ignore."""
+    from .datasets import register_sem_seg
+
+    base = os.path.join(root, "coco")
+    data_id_to_cont_id = {k - 1: i for i, k in enumerate(COCO_STUFF_171_IDS)}
+    for split in ["train2017", "val2017"]:
+        name = f"coco_2017_{split[:-4]}_stuff_sem_seg"
+        try:
+            register_sem_seg(
+                name,
+                image_root=os.path.join(base, split),
+                gt_root=os.path.join(base, f"semseg_{split}"),
+                classes=COCO_STUFF_171_NAMES,
+                ignore_label=255,
+            )
+            MetadataCatalog.get(name).set(
+                stuff_dataset_id_to_contiguous_id=dict(data_id_to_cont_id),
+                evaluator_type="coco_sem_seg",
+            )
+        except KeyError:
+            pass
+
+
 def register_coco_stuff_semseg(root: str) -> None:
     """COCO panoptic-derived semantic segmentation (the reference's
     register_coco_stuff_semseg / COCOSemanticDatasetMapper targets), pairing

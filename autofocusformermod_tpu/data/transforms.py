@@ -144,6 +144,7 @@ def large_scale_jitter(
     image_size: int,
     min_scale: float = 0.1,
     max_scale: float = 2.0,
+    seg_value: int = 255,
 ):
     """LSJ augmentation for the COCO new-baseline mappers: random global scale,
     then fixed-size random crop/pad to image_size x image_size."""
@@ -158,4 +159,4 @@ def large_scale_jitter(
     img, sem_seg = random_crop_with_category_constraint(
         rng, img, sem_seg, (out, out)
     )
-    return pad_to_size(img, sem_seg, (out, out))
+    return pad_to_size(img, sem_seg, (out, out), 128, seg_value)

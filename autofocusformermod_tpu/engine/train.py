@@ -143,6 +143,15 @@ class Trainer:
         cfg = self.cfg
         name = cfg.INPUT.DATASET_MAPPER_NAME
         seed = cfg.SEED + self.process_index
+        if name == "coco_semantic2" and is_train:
+            # fixed-size LSJ semantic recipe (reference
+            # coco_semantic_dataset_mapper2.py); eval falls through to the
+            # shortest-edge mapper like the reference test loader
+            from ..data.mapper_semantic import COCOSemanticLSJDatasetMapper
+
+            return COCOSemanticLSJDatasetMapper.from_config(
+                cfg, is_train=True, seed=seed
+            )
         if name == "mask_former_semantic" or name.startswith("coco_semantic"):
             return MaskFormerSemanticDatasetMapper.from_config(
                 cfg, is_train=is_train, seed=seed

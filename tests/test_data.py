@@ -199,3 +199,59 @@ def test_prepare_cocofied_lvisv1(tmp_path):
     assert out["annotations"][0]["category_id"] == 1
     assert out["annotations"][0]["image_id"] == 1
     assert [c["id"] for c in out["categories"]] == [1]  # only cats w/ instances
+
+
+def test_coco_semantic2_lsj_mapper(synthetic_semantic_dataset):
+    """coco_semantic2 mapper (reference coco_semantic_dataset_mapper2.py):
+    fixed-size LSJ output, caffe-shifted dataset ids remapped to contiguous
+    train ids, removed classes sent to ignore."""
+    from autofocusformermod_tpu.data.mapper_semantic import (
+        COCOSemanticLSJDatasetMapper,
+        stuff_remap_lut,
+    )
+
+    # synthetic gt uses values {0, 3, 255}; pretend dataset ids 0->7, 3->1
+    lut = stuff_remap_lut({0: 7, 3: 1}, ignore_label=255)
+    mapper = COCOSemanticLSJDatasetMapper(
+        image_size=256, min_scale=0.5, max_scale=2.0,
+        size_divisibility=32, max_gt=10, seed=0, dataset_id_remap=lut,
+    )
+    out = mapper(synthetic_semantic_dataset[0])
+    assert out["image"].shape == (256, 256, 3)
+    assert out["image"].dtype == np.uint8
+    assert out["sem_seg_map"].shape == (256, 256)
+    present = set(np.unique(out["sem_seg_map"]))
+    assert present <= {1, 7, 255}               # remapped ids only
+    got = set(out["labels"][out["valid"]])
+    assert got <= {1, 7} and len(got) >= 1
+
+
+def test_stuff_remap_lut_removed_classes():
+    from autofocusformermod_tpu.data.mapper_semantic import (
+        _COCO_STUFF_REMOVED_DATASET_IDS,
+        stuff_remap_lut,
+    )
+    from autofocusformermod_tpu.data.datasets_coco import COCO_STUFF_171_IDS
+
+    mapping = {k - 1: i for i, k in enumerate(COCO_STUFF_171_IDS)}
+    lut = stuff_remap_lut(mapping, 255)
+    # all 171 kept classes map to contiguous [0, 171)
+    kept = sorted(lut[k - 1] for k in COCO_STUFF_171_IDS)
+    assert kept == list(range(171))
+    # the 11 removed caffe-shifted ids map to ignore even if present in the
+    # metadata mapping (reference coco_semantic_dataset_mapper2.py:97-107)
+    for did in _COCO_STUFF_REMOVED_DATASET_IDS:
+        assert lut[did] == 255
+    assert lut[255] == 255
+
+
+def test_coco_stuff_171_registration():
+    from autofocusformermod_tpu.data.catalog import MetadataCatalog
+    from autofocusformermod_tpu.data.datasets import register_all_builtin
+
+    register_all_builtin()
+    meta = MetadataCatalog.get("coco_2017_train_stuff_sem_seg")
+    mapping = meta.get("stuff_dataset_id_to_contiguous_id")
+    assert mapping and len(mapping) == 171
+    assert len(meta.get("stuff_classes")) == 171
+    assert meta.get("ignore_label") == 255
