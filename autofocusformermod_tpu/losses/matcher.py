@@ -45,6 +45,31 @@ def set_matcher_backend(backend):
     _MATCHER_BACKEND = backend
 
 
+# Optional mesh hint for the host-callback path under GSPMD: a pure_callback
+# is pinned to ONE device ({maximal device=0}), and the partitioner cannot
+# lower sharded<->maximal transitions directly — it logs "involuntary full
+# rematerialization" and replicates anyway.  With the mesh known we make that
+# explicit: replicate the cost before the callback and mark its result
+# replicated, so the transitions become a plain all-gather + broadcast.
+_CALLBACK_MESH = None
+
+
+def set_callback_replication(mesh):
+    """Register the active device mesh (or None) for sharded host callbacks."""
+    global _CALLBACK_MESH
+    _CALLBACK_MESH = mesh
+
+
+def _replicated(x: jnp.ndarray) -> jnp.ndarray:
+    if _CALLBACK_MESH is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(_CALLBACK_MESH, PartitionSpec())
+    )
+
+
 def _resolve_backend() -> str:
     if _MATCHER_BACKEND is not None:
         return _MATCHER_BACKEND
@@ -188,12 +213,12 @@ def solve_lsap(cost: jnp.ndarray) -> jnp.ndarray:
         return hungarian_lsap(cost)
     if backend == "auction":
         return auction_lsap(cost)
-    return jax.pure_callback(
+    return _replicated(jax.pure_callback(
         _lsap_host,
         jax.ShapeDtypeStruct((b, t), jnp.int32),
-        cost,
+        _replicated(cost),
         vmap_method="sequential",
-    )
+    ))
 
 
 def hungarian_match(
