@@ -292,16 +292,30 @@ class Trainer:
         assert ok, "verify_results failed (see log)"
         return ok
 
+    def _pad_eval_image(self, img: np.ndarray) -> np.ndarray:
+        """Pad bottom/right to the next multiple of SIZE_DIVISIBILITY with the
+        (rounded) pixel mean: the reference batches eval images AFTER
+        normalization and pads with zeros (ImageList.from_tensors,
+        maskformer_model.py:196), i.e. the mean pixel in raw space.  Zero
+        padding raw uint8 would put a black border (-mean/std normalized)
+        under the backbone instead.  uint8 rounding costs <=0.5/58 normalized
+        units, confined to the pad fringe."""
+        div = self.cfg.MODEL.MASK_FORMER.SIZE_DIVISIBILITY
+        h, w = img.shape[:2]
+        ph = -(-h // div) * div
+        pw = -(-w // div) * div
+        out = np.empty((ph, pw, img.shape[2]), img.dtype)
+        out[:] = np.round(np.asarray(self.cfg.MODEL.PIXEL_MEAN)).astype(img.dtype)
+        out[:h, :w] = img
+        return out
+
     def _predict_image(self, variables, img: np.ndarray):
         """Pad to divisibility, run the model, return (logits, masks at
         image resolution)."""
         import cv2  # noqa: F401 - parity with eval paths using cv2
 
-        div = self.cfg.MODEL.MASK_FORMER.SIZE_DIVISIBILITY
         h, w = img.shape[:2]
-        ph = -(-h // div) * div
-        pw = -(-w // div) * div
-        img_p = np.pad(img, ((0, ph - h), (0, pw - w), (0, 0)))
+        img_p = self._pad_eval_image(img)
 
         @jax.jit
         def predict(variables, image):
@@ -379,19 +393,17 @@ class Trainer:
                         process_count=self.process_count),
         ):
             logits, masks = self._predict_image(variables, sample["image"])
+            # reference order (maskformer_model.py:240-261): bilinear-resize
+            # the mask LOGITS to the original size, THEN threshold/inference
+            # — not nearest-resize of binarized masks
+            oh, ow = d.get("height"), d.get("width")
+            masks = sem_seg_postprocess(masks, masks.shape[-2:], (oh, ow))
             inst = instance_inference(
                 logits, masks, jnp.asarray(is_thing), nc,
                 topk=cfg.TEST.DETECTIONS_PER_IMAGE,
                 panoptic_on=cfg.MODEL.MASK_FORMER.TEST.PANOPTIC_ON,
             )
-            import cv2
-
-            oh, ow = d.get("height"), d.get("width")
-            pm = np.stack([
-                cv2.resize(m.astype(np.uint8), (ow, oh),
-                           interpolation=cv2.INTER_NEAREST).astype(bool)
-                for m in np.asarray(inst["masks"])
-            ])
+            pm = np.asarray(inst["masks"]).astype(bool)
             gl, gm = [], []
             for a in d.get("annotations", []):
                 if a.get("iscrowd", 0):
@@ -439,7 +451,6 @@ class Trainer:
         mapper = MaskFormerSemanticDatasetMapper.from_config(cfg, is_train=False)
         dataset = DatasetCatalog.get(dataset_name)
 
-        div = cfg.MODEL.MASK_FORMER.SIZE_DIVISIBILITY
         variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
 
         @jax.jit
@@ -469,9 +480,7 @@ class Trainer:
         def predict_scores(img: np.ndarray) -> np.ndarray:
             """image (h, w, 3) -> semantic class scores (nc, h, w)."""
             h, w = img.shape[:2]
-            ph = -(-h // div) * div
-            pw = -(-w // div) * div
-            img_p = np.pad(img, ((0, ph - h), (0, pw - w), (0, 0)))
+            img_p = self._pad_eval_image(img)
             if sw_enabled:
                 from ..models.inference import sliding_window_semantic_scores
 

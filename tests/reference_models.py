@@ -466,3 +466,134 @@ def load_reference_modules():
         "refmask.modeling.pixel_decoder",
     )
     return {"aff": aff, "decoder": dec, "pixel_decoder": pixdec, "point_utils": pu}
+
+
+def _install_meta_arch_stubs():
+    """Stubs needed by the reference MaskFormer meta-arch
+    (maskformer_model.py): ImageList/Instances/Boxes, the real
+    sem_seg_postprocess semantics, MetadataCatalog, retry_if_cuda_oom."""
+    import torch
+    import torch.nn.functional as F
+
+    class ImageList:
+        """detectron2 ImageList semantics: pad each image bottom/right with
+        ZEROS to the common max size rounded up to size_divisibility."""
+
+        def __init__(self, tensor, image_sizes):
+            self.tensor = tensor
+            self.image_sizes = image_sizes
+
+        def __len__(self):
+            return len(self.image_sizes)
+
+        @staticmethod
+        def from_tensors(tensors, size_divisibility=0, pad_value=0.0):
+            image_sizes = [(t.shape[-2], t.shape[-1]) for t in tensors]
+            max_h = max(s[0] for s in image_sizes)
+            max_w = max(s[1] for s in image_sizes)
+            if size_divisibility > 1:
+                d = size_divisibility
+                max_h = -(-max_h // d) * d
+                max_w = -(-max_w // d) * d
+            batched = tensors[0].new_full(
+                (len(tensors), tensors[0].shape[0], max_h, max_w), pad_value
+            )
+            for i, t in enumerate(tensors):
+                batched[i, :, : t.shape[-2], : t.shape[-1]].copy_(t)
+            return ImageList(batched.contiguous(), image_sizes)
+
+    class Instances:
+        def __init__(self, image_size, **kwargs):
+            self._image_size = image_size
+            self._fields = {}
+            for k, v in kwargs.items():
+                setattr(self, k, v)
+
+        @property
+        def image_size(self):
+            return self._image_size
+
+        def __setattr__(self, name, val):
+            if name.startswith("_"):
+                super().__setattr__(name, val)
+            else:
+                self._fields[name] = val
+
+        def __getattr__(self, name):
+            if name.startswith("_") or name not in self.__dict__.get("_fields", {}):
+                raise AttributeError(name)
+            return self._fields[name]
+
+        def __len__(self):
+            for v in self._fields.values():
+                return len(v)
+            return 0
+
+    class Boxes:
+        def __init__(self, tensor):
+            self.tensor = tensor
+
+    def sem_seg_postprocess(result, img_size, output_height, output_width):
+        """Real detectron2 semantics (modeling/postprocessing.py): crop the
+        padded prediction to the image region, then bilinear-resize
+        (align_corners=False) to the output size."""
+        result = result[:, : img_size[0], : img_size[1]].expand(1, -1, -1, -1)
+        result = F.interpolate(
+            result, size=(output_height, output_width), mode="bilinear",
+            align_corners=False,
+        )[0]
+        return result
+
+    structures = sys.modules.get("detectron2.structures")
+    if structures is None:
+        structures = types.ModuleType("detectron2.structures")
+        sys.modules["detectron2.structures"] = structures
+    structures.ImageList = ImageList
+    structures.Instances = Instances
+    structures.Boxes = Boxes
+
+    post = types.ModuleType("detectron2.modeling.postprocessing")
+    post.sem_seg_postprocess = sem_seg_postprocess
+    sys.modules["detectron2.modeling.postprocessing"] = post
+    bb_mod = types.ModuleType("detectron2.modeling.backbone")
+    if "detectron2.modeling" in sys.modules:
+        mod_modeling = sys.modules["detectron2.modeling"]
+        mod_modeling.postprocessing = post
+        bb_mod.Backbone = mod_modeling.Backbone
+        mod_modeling.backbone = bb_mod
+    sys.modules["detectron2.modeling.backbone"] = bb_mod
+
+    data_mod = sys.modules.get("detectron2.data")
+    if data_mod is None:
+        data_mod = types.ModuleType("detectron2.data")
+        sys.modules["detectron2.data"] = data_mod
+
+    class _MetaNS:
+        def __getattr__(self, name):
+            raise AttributeError(name)
+
+    class _MetadataCatalog:
+        @staticmethod
+        def get(name):
+            return _MetaNS()
+
+    data_mod.MetadataCatalog = _MetadataCatalog
+
+    memory = types.ModuleType("detectron2.utils.memory")
+    memory.retry_if_cuda_oom = lambda fn: fn
+    sys.modules["detectron2.utils.memory"] = memory
+    if "detectron2.utils" in sys.modules:
+        sys.modules["detectron2.utils"].memory = memory
+
+
+def load_reference_meta_arch():
+    """Load the real reference MaskFormer meta-arch (maskformer_model.py) on
+    CPU.  Returns the module; construct MaskFormer with explicit kwargs (the
+    configurable stub is identity)."""
+    load_reference_losses()          # installs stubs + refmask.modeling.*
+    _install_meta_arch_stubs()
+    return _load(
+        "mask2former/maskformer_model.py",
+        "refmask.maskformer_model",
+        "refmask",
+    )
