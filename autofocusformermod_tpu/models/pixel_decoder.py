@@ -39,6 +39,9 @@ ABLATE_PACK = False
 ABLATE_KNN = False
 ABLATE_SHEPARD = False
 
+# Measured dead end (r3): head-natural kernel layout — see MSDeformAttnPc.
+USE_BH_LAYOUT = False
+
 
 def _msdetrpc_dispatch(idxs_local, ws_shepard, attn_perm, values_all,
                        level_sizes):
@@ -309,11 +312,8 @@ class MSDeformAttnPc(nn.Module):
             power = self.shepard_power
 
         value_proj = nn.Dense(self.d_model, name="value_proj")
-        values_all = value_proj(jnp.concatenate(values, axis=1))  # (b, ntot, c)
-        ntot = values_all.shape[1]
-        values_all = (
-            values_all.reshape(b, ntot, h, c_).transpose(0, 2, 1, 3).reshape(b * h, ntot, c_)
-        )
+        values_cat = value_proj(jnp.concatenate(values, axis=1))  # (b, ntot, c)
+        ntot = values_cat.shape[1]
 
         offsets_net = nn.Dense(
             h * l * k * 2, name="sampling_offsets",
@@ -325,8 +325,34 @@ class MSDeformAttnPc(nn.Module):
         )
         out_proj = nn.Dense(self.d_model, name="output_proj")
 
-        outputs = []
         level_sizes = [q.shape[1] for q in querys]
+        from ..ops.dispatch import fused_attention_available
+
+        # Head-natural path (measured DEAD END, r3): keeping tensors
+        # (b, n, h, ...) and looping heads in-kernel removes the ~31 ms of
+        # XLA head transposes but costs 290 vs 197 ms/fwd in context — the
+        # in-kernel strided [0, :, h_i, :] head slices (h on the
+        # second-minor dim) relayout worse than the transposes they avoid.
+        # Kept behind this flag with its kernels + parity tests
+        # (ops/pallas/msdetrpc_kernel.py _kernel_v12/_bwd_kernel_v12) so the
+        # next round doesn't retry it blind.
+        if USE_BH_LAYOUT and (
+            fused_attention_available()
+            and sum(level_sizes) == ntot
+            and all(nj % 128 == 0 for nj in level_sizes)
+            and not (ABLATE_MSDETRPC or ABLATE_PACK or ABLATE_KNN
+                     or ABLATE_SHEPARD)
+        ):
+            return self._forward_bh(
+                querys, poss, values_cat, spatial_shapes, nb_packed,
+                offsets_net, attn_net, out_proj, power, level_sizes,
+            )
+
+        values_all = (
+            values_cat.reshape(b, ntot, h, c_).transpose(0, 2, 1, 3).reshape(b * h, ntot, c_)
+        )
+
+        outputs = []
         for i in range(l):
             n_i = level_sizes[i]
             offs = offsets_net(querys[i]).reshape(b, n_i, h, l, k, 2)
@@ -378,6 +404,62 @@ class MSDeformAttnPc(nn.Module):
             )
             sampled = sampled.reshape(b, h, n_i, c_).transpose(0, 2, 1, 3).reshape(b, n_i, c)
             outputs.append(out_proj(sampled))
+        return outputs
+
+    def _forward_bh(self, querys, poss, values_cat, spatial_shapes,
+                    nb_packed, offsets_net, attn_net, out_proj, power,
+                    level_sizes):
+        """Head-natural fused path: see __call__.  Semantics identical to
+        the transposed path (kernel fwd is bit-identical to v8 on permuted
+        inputs, tests/test_msdetrpc_pallas.py)."""
+        from ..ops.gather import take_rows
+        from ..ops.pallas.msdetrpc_kernel import msdetrpc_pallas_bh
+
+        b, ntot, c = values_cat.shape
+        h, l, k = self.n_heads, self.n_levels, self.n_points
+        c_ = c // h
+        grid_hw = spatial_shapes[-1]
+        dt = values_cat.dtype
+        values_bh = values_cat.reshape(b, ntot, h, c_)      # free reshape
+
+        outputs = []
+        for i in range(l):
+            n_i = level_sizes[i]
+            offs = offsets_net(querys[i]).reshape(b, n_i, h, l, k, 2)
+            attn = jax.nn.softmax(
+                attn_net(querys[i]).reshape(b, n_i, h, l * k), axis=-1
+            ).reshape(b, n_i, h, l, k)
+
+            idxs_bh = []
+            ws_bh = []
+            for j in range(l):
+                s_pos = scale_pos(poss[i], spatial_shapes[i],
+                                  spatial_shapes[j], no_bias=True)
+                # (b, n_i, h, k, 2) — h stays where the Dense put it
+                loc = s_pos[:, :, None, None, :] + offs[:, :, :, j]
+                loc = loc.reshape(b, n_i * h * k, 2)
+
+                sl = scale_pos(loc, spatial_shapes[j], grid_hw, no_bias=True)
+                sl = jnp.round(sl).astype(jnp.int32)
+                gx = jnp.clip(sl[..., 0], 0, grid_hw[1] - 1)
+                gy = jnp.clip(sl[..., 1], 0, grid_hw[0] - 1) * grid_hw[1]
+                packed = take_rows(nb_packed[j], gx + gy)   # (b, nhk, 12)
+                nb_real = packed[..., 0:4].astype(jnp.int32)
+                nb_x = packed[..., 4:8]
+                nb_y = packed[..., 8:12]
+
+                d2 = (loc[..., 0:1] - nb_x) ** 2 + (loc[..., 1:2] - nb_y) ** 2
+                w = shepard_decay_weights(d2, power=power)  # (b, nhk, 4)
+                w = (w.reshape(b, n_i, h, k, 4)
+                     * attn[:, :, :, j, :, None].astype(w.dtype))
+                idxs_bh.append(nb_real.reshape(b, n_i, h, k * 4))
+                ws_bh.append(w.reshape(b, n_i, h, k * 4))
+
+            sampled = msdetrpc_pallas_bh(
+                tuple(idxs_bh), tuple(ws_bh),
+                values_bh.astype(jnp.float32), tuple(level_sizes),
+            ).astype(dt)
+            outputs.append(out_proj(sampled.reshape(b, n_i, c)))
         return outputs
 
 

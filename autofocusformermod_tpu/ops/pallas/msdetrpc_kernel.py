@@ -1021,6 +1021,103 @@ def _kernel_v8(*args, level_sizes, pairs_per_level):
     out_ref[0] = acc
 
 
+def _kernel_v10(*args, level_sizes, pairs_per_level):
+    """v8 with bf16 MXU operands (fp32 accumulate).
+
+    v8 feeds fp32 one-hots to every dot; fp32 matmuls on the MXU run as
+    multiple bf16 passes, so the 128-unrolled batched W dot — the measured
+    per-program cost center — pays the multi-pass price on every issue.
+    One-hots are EXACT in bf16; the folded weights round at ~4e-3 relative
+    (inside the 2% Pallas parity budget); accumulation stays fp32 via
+    preferred_element_type.  Same structure as v8 otherwise."""
+    n_levels = len(level_sizes)
+    idx_refs = args[:n_levels]
+    w_refs = args[n_levels : 2 * n_levels]
+    val_ref = args[2 * n_levels]
+    out_ref = args[2 * n_levels + 1]
+    bq = out_ref.shape[1]
+    c_ = val_ref.shape[2]
+    p = pairs_per_level
+
+    acc = jnp.zeros((bq, c_), jnp.float32)
+    off = 0
+    for j, nj in enumerate(level_sizes):
+        hi_n = nj // 128
+        idx_j = idx_refs[j][0]                             # (BQ, P) local
+        w_j = w_refs[j][0]
+        hi = idx_j // 128
+        lo = idx_j - hi * 128
+        h_oh = (
+            hi[:, :, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (bq, p, hi_n), 2)
+        ).astype(jnp.bfloat16)
+        l_oh = (
+            lo[:, :, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (bq, p, 128), 2)
+        ).astype(jnp.bfloat16) * w_j[:, :, None].astype(jnp.bfloat16)
+        w_mat = jax.lax.dot_general(
+            h_oh, l_oh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+        for hi_idx in range(hi_n):
+            acc = acc + jax.lax.dot_general(
+                w_mat[:, hi_idx, :],
+                val_ref[0, off + hi_idx * 128 : off + (hi_idx + 1) * 128, :]
+                .astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        off += nj
+    out_ref[0] = acc
+
+
+def _kernel_v11(*args, level_sizes, pairs_per_level):
+    """v8 with v7's SUBLANE pair layout: per-level refs arrive (1, BQ, P, 1).
+
+    v8 broadcasts idx_j[:, :, None] in-kernel — a lanes->sublanes relayout
+    of the P axis that Mosaic lowers through a slow copy path (v7 measured
+    it at ~4.7 ms of an 11.2 ms interleaved call).  The trailing singleton
+    supplied from XLA keeps P on sublanes end to end; the iota compares then
+    broadcast along lanes with no relayout.  Otherwise identical to v8."""
+    n_levels = len(level_sizes)
+    idx_refs = args[:n_levels]
+    w_refs = args[n_levels : 2 * n_levels]
+    val_ref = args[2 * n_levels]
+    out_ref = args[2 * n_levels + 1]
+    bq = out_ref.shape[1]
+    c_ = val_ref.shape[2]
+    p = pairs_per_level
+
+    acc = jnp.zeros((bq, c_), jnp.float32)
+    off = 0
+    for j, nj in enumerate(level_sizes):
+        hi_n = nj // 128
+        idx_j = idx_refs[j][0]                             # (BQ, P, 1) local
+        w_j = w_refs[j][0]
+        hi = idx_j // 128
+        lo = idx_j - hi * 128
+        h_oh = (
+            hi == jax.lax.broadcasted_iota(jnp.int32, (bq, p, hi_n), 2)
+        ).astype(jnp.float32)                              # (BQ, P, HI)
+        l_oh = jnp.where(
+            lo == jax.lax.broadcasted_iota(jnp.int32, (bq, p, 128), 2),
+            w_j, 0.0,
+        )                                                  # (BQ, P, 128)
+        w_mat = jax.lax.dot_general(
+            h_oh, l_oh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        for hi_idx in range(hi_n):
+            acc = acc + jax.lax.dot_general(
+                w_mat[:, hi_idx, :],
+                val_ref[0, off + hi_idx * 128 : off + (hi_idx + 1) * 128, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        off += nj
+    out_ref[0] = acc
+
+
 def _kernel_v9(*args, level_sizes, pairs_per_level, n_pad):
     """v8 with per-band masked reduce + adaptive band WINDOWING (exact).
 
@@ -1126,6 +1223,35 @@ def msdetrpc_pallas_levels_impl(idxs, ws, val, level_sizes: Tuple[int, ...],
             pairs_per_level=pairs, n_pad=n_pad,
         )
         scratch = [pltpu.VMEM((BLOCK_Q, c_), jnp.float32)]
+    elif version == 10:
+        kernel = functools.partial(
+            _kernel_v10, level_sizes=tuple(level_sizes), pairs_per_level=pairs,
+        )
+        scratch = []
+    elif version == 11:
+        kernel = functools.partial(
+            _kernel_v11, level_sizes=tuple(level_sizes), pairs_per_level=pairs,
+        )
+        scratch = []
+        lvl_spec = pl.BlockSpec((1, BLOCK_Q, pairs, 1),
+                                lambda b, q: (b, q, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=(bh, nqb),
+            in_specs=[lvl_spec] * (2 * n_levels) + [
+                pl.BlockSpec((1, ntot, c_), lambda b, q: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, BLOCK_Q, c_), lambda b, q: (b, q, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bh, n_pad, c_), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(*[i[..., None] for i in idx_p], *[w[..., None] for w in w_p], val_f)
+        return out[:, :n]
     else:
         kernel = functools.partial(
             _kernel_v8, level_sizes=tuple(level_sizes), pairs_per_level=pairs,
@@ -1232,3 +1358,273 @@ def _bwd_levels(level_sizes, res, g):
 
 
 msdetrpc_pallas_levels.defvjp(_fwd_levels, _bwd_levels)
+
+
+# ---------------------------------------------------------------------------
+# Head-natural layout path (r3): the (b, n, h, ...) tensors coming out of the
+# pixel decoder's Dense producers are consumed DIRECTLY — the grid's (b*h)
+# programs route heads via BlockSpec index maps instead of XLA transposes.
+# The measured ~31 ms of per-layer (b, n, h, X) -> (b*h, n, X) relayouts
+# around the kernel calls (145.6 in-context - 84 kernel - 29 gathers - 1.3
+# shepard) disappears; the kernel body is v8's, bit-identical results.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_v12(*args, level_sizes, pairs_per_level, n_heads):
+    """v8 body on head-natural (1, BQ, h, P)-blocked per-level refs: the
+    head loop runs in-kernel (grid is (b, nqb)); slicing [0, :, h_i, :] is
+    the same static mid-dim slice v2 used for its level axis."""
+    n_levels = len(level_sizes)
+    idx_refs = args[:n_levels]
+    w_refs = args[n_levels : 2 * n_levels]
+    val_ref = args[2 * n_levels]
+    out_ref = args[2 * n_levels + 1]
+    bq = out_ref.shape[1]
+    c_ = val_ref.shape[3]
+    p = pairs_per_level
+
+    for h_i in range(n_heads):
+        acc = jnp.zeros((bq, c_), jnp.float32)
+        off = 0
+        for j, nj in enumerate(level_sizes):
+            hi_n = nj // 128
+            idx_j = idx_refs[j][0, :, h_i, :]              # (BQ, P) local
+            w_j = w_refs[j][0, :, h_i, :]
+            hi = idx_j // 128
+            lo = idx_j - hi * 128
+            h_oh = (
+                hi[:, :, None]
+                == jax.lax.broadcasted_iota(jnp.int32, (bq, p, hi_n), 2)
+            ).astype(jnp.float32)
+            l_oh = jnp.where(
+                lo[:, :, None]
+                == jax.lax.broadcasted_iota(jnp.int32, (bq, p, 128), 2),
+                w_j[:, :, None], 0.0,
+            )
+            w_mat = jax.lax.dot_general(
+                h_oh, l_oh, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            for hi_idx in range(hi_n):
+                acc = acc + jax.lax.dot_general(
+                    w_mat[:, hi_idx, :],
+                    val_ref[0, off + hi_idx * 128
+                            : off + (hi_idx + 1) * 128, h_i, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            off += nj
+        out_ref[0, :, h_i, :] = acc
+
+
+def _bwd_kernel_v12(*args, level_sizes, pairs_per_level, n_pad, n_heads):
+    """_bwd_kernel_v4 (windowed, exact) on head-natural per-level refs; the
+    head loop runs in-kernel (grid (b, nqb))."""
+    n_levels = len(level_sizes)
+    idx_refs = args[:n_levels]
+    w_refs = args[n_levels : 2 * n_levels]
+    val_ref = args[2 * n_levels]
+    g_ref = args[2 * n_levels + 1]
+    dval_ref = args[2 * n_levels + 2]
+    dw_refs = args[2 * n_levels + 3 :]
+
+    q_step = pl.program_id(1)
+    bq = g_ref.shape[1]
+    p = pairs_per_level
+    c_ = val_ref.shape[3]
+
+    @pl.when(q_step == 0)
+    def _():
+        dval_ref[0] = jnp.zeros_like(dval_ref[0])
+
+    for h_i in range(n_heads):
+        g = g_ref[0, :, h_i, :]                            # (BQ, c_)
+        off = 0
+        for j, nj in enumerate(level_sizes):
+            hi_n = nj // 128
+            kw = -(-bq * nj // n_pad) // 128 + _WINDOW_SLACK
+            if kw > hi_n // 2:
+                kw = hi_n
+            idx_j = idx_refs[j][0, :, h_i, :]              # (BQ, P) local
+            w_j = w_refs[j][0, :, h_i, :]
+            hi = idx_j // 128
+            lo = idx_j - hi * 128
+            lo_match = (
+                lo[:, :, None]
+                == jax.lax.broadcasted_iota(jnp.int32, (bq, p, 128), 2)
+            )
+            hi_b = hi[:, :, None]
+
+            def _bands(band_starts, hi_vals, u0, lo_match=lo_match,
+                       hi_b=hi_b, w_j=w_j, g=g, h_i=h_i):
+                u_acc = u0
+                for start, hval in zip(band_starts, hi_vals):
+                    sel = lo_match & (hi_b == hval)
+                    sel_f = sel.astype(jnp.float32)
+                    w_band = jnp.sum(
+                        jnp.where(sel, w_j[:, :, None], 0.0), axis=1
+                    )
+                    dval_ref[0, pl.dslice(start, 128), h_i, :] += (
+                        jax.lax.dot_general(
+                            w_band, g, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    )
+                    u_acc = u_acc + jax.lax.dot_general(
+                        sel_f, val_ref[0, pl.dslice(start, 128), h_i, :],
+                        (((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                return u_acc
+
+            if hi_n <= kw:
+                u_acc = _bands(
+                    [off + i * 128 for i in range(hi_n)], list(range(hi_n)),
+                    jnp.zeros((bq, p, c_), jnp.float32),
+                )
+                dw_refs[j][0, :, h_i, :] = jnp.sum(
+                    u_acc * g[:, None, :], axis=-1
+                )
+                off += nj
+                continue
+
+            base = jnp.min(hi)
+            fits = (jnp.max(hi) - base) < kw
+            dw_refs[j][0, :, h_i, :] = jnp.zeros((bq, p), jnp.float32)
+
+            @pl.when(fits)
+            def _fast(base=base, off=off, j=j, kw=kw, _bands=_bands,
+                      g=g, h_i=h_i):
+                u_acc = _bands(
+                    [off + (base + i) * 128 for i in range(kw)],
+                    [base + i for i in range(kw)],
+                    jnp.zeros((bq, p, c_), jnp.float32),
+                )
+                dw_refs[j][0, :, h_i, :] = jnp.sum(
+                    u_acc * g[:, None, :], axis=-1
+                )
+
+            @pl.when(jnp.logical_not(fits))
+            def _full(off=off, hi_n=hi_n, j=j, _bands=_bands, g=g, h_i=h_i):
+                u_acc = _bands(
+                    [off + i * 128 for i in range(hi_n)], list(range(hi_n)),
+                    jnp.zeros((bq, p, c_), jnp.float32),
+                )
+                dw_refs[j][0, :, h_i, :] = jnp.sum(
+                    u_acc * g[:, None, :], axis=-1
+                )
+
+            off += nj
+
+
+def msdetrpc_pallas_bh_impl(idxs, ws, val, level_sizes: Tuple[int, ...],
+                            interpret: bool = False):
+    """Head-natural forward.
+
+    idxs/ws: per level (b, n, h, pairs) — level-LOCAL indices, attention
+    folded into the weights; val: (b, ntot, h, c_).  Returns (b, n, h, c_).
+    """
+    b, n, h, pairs = idxs[0].shape
+    ntot, c_ = val.shape[1], val.shape[3]
+    n_levels = len(level_sizes)
+
+    idx_p = [_pad_to(i.astype(jnp.int32), BLOCK_Q, 1) for i in idxs]
+    w_p = [_pad_to(w.astype(jnp.float32), BLOCK_Q, 1) for w in ws]
+    n_pad = idx_p[0].shape[1]
+    nqb = n_pad // BLOCK_Q
+    val_f = val.astype(jnp.float32)
+
+    lvl_spec = pl.BlockSpec(
+        (1, BLOCK_Q, h, pairs), lambda b_, q: (b_, q, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_v12, level_sizes=tuple(level_sizes),
+            pairs_per_level=pairs, n_heads=h,
+        ),
+        grid=(b, nqb),
+        in_specs=[lvl_spec] * (2 * n_levels) + [
+            pl.BlockSpec((1, ntot, h, c_), lambda b_, q: (b_, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BLOCK_Q, h, c_), lambda b_, q: (b_, q, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, h, c_), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * nqb * BLOCK_Q * ntot * (pairs + c_),
+            bytes_accessed=b * h * (ntot * c_ * 4
+                                    + n_pad * n_levels * pairs * 8),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*idx_p, *w_p, val_f)
+    return out[:, :n]
+
+
+def _bh_fwd(idxs, ws, val, level_sizes):
+    return msdetrpc_pallas_bh_impl(idxs, ws, val, level_sizes), (idxs, ws, val)
+
+
+def msdetrpc_pallas_bh_bwd_impl(idxs, ws, val, g, level_sizes,
+                                interpret: bool = False):
+    b, n, h, pairs = idxs[0].shape
+    ntot, c_ = val.shape[1], val.shape[3]
+    n_levels = len(level_sizes)
+
+    idx_p = [_pad_to(i.astype(jnp.int32), BLOCK_Q, 1) for i in idxs]
+    w_p = [_pad_to(w.astype(jnp.float32), BLOCK_Q, 1) for w in ws]
+    n_pad = idx_p[0].shape[1]
+    nqb = n_pad // BLOCK_Q
+    val_f = val.astype(jnp.float32)
+    g_f = _pad_to(g.astype(jnp.float32), BLOCK_Q, 1)
+
+    lvl_spec = pl.BlockSpec(
+        (1, BLOCK_Q, h, pairs), lambda b_, q: (b_, q, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    val_spec = pl.BlockSpec((1, ntot, h, c_), lambda b_, q: (b_, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, BLOCK_Q, h, c_), lambda b_, q: (b_, q, 0, 0),
+                          memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_v12, level_sizes=tuple(level_sizes),
+            pairs_per_level=pairs, n_pad=n_pad, n_heads=h,
+        ),
+        grid=(b, nqb),
+        in_specs=[lvl_spec] * (2 * n_levels) + [val_spec, g_spec],
+        out_specs=[val_spec] + [lvl_spec] * n_levels,
+        out_shape=[jax.ShapeDtypeStruct((b, ntot, h, c_), jnp.float32)]
+        + [jax.ShapeDtypeStruct((b, n_pad, h, pairs), jnp.float32)] * n_levels,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*idx_p, *w_p, val_f, g_f)
+    dval = outs[0]
+    d_ws = tuple(outs[1 + j][:, :n].astype(ws[j].dtype)
+                 for j in range(n_levels))
+    d_idxs = tuple(jnp.zeros_like(i) for i in idxs)
+    return d_idxs, d_ws, dval.astype(val.dtype)
+
+
+def _bh_bwd(level_sizes, res, g):
+    idxs, ws, val = res
+    return msdetrpc_pallas_bh_bwd_impl(idxs, ws, val, g, level_sizes)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def msdetrpc_pallas_bh(idxs, ws, val, level_sizes):
+    """Head-natural-layout deformable sampling (no XLA head transposes).
+
+    idxs: tuple of (b, n, h, pairs) int32 level-LOCAL value indices
+    ws:   tuple of (b, n, h, pairs) f32 shepard*attention weights
+    val:  (b, ntot, h, c_); level_sizes partitions its token axis."""
+    return msdetrpc_pallas_bh_impl(idxs, ws, val, level_sizes)
+
+
+msdetrpc_pallas_bh.defvjp(_bh_fwd, _bh_bwd)

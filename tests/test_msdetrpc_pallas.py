@@ -226,3 +226,95 @@ def test_msdetrpc_pallas_levels_vjp_tpu():
             np.asarray(got), np.asarray(ref),
             atol=2e-2 * float(np.abs(np.asarray(ref)).max()),
         )
+
+
+def _to_bh(idxs, ws, h):
+    """(b*h, n, P) per-level arrays -> (b, n, h, P) head-natural."""
+    out_i, out_w = [], []
+    for i_, w_ in zip(idxs, ws):
+        bh, n, p = i_.shape
+        b = bh // h
+        out_i.append(jnp.asarray(i_).reshape(b, h, n, p).transpose(0, 2, 1, 3))
+        out_w.append(jnp.asarray(w_).reshape(b, h, n, p).transpose(0, 2, 1, 3))
+    return tuple(out_i), tuple(out_w)
+
+
+def test_msdetrpc_pallas_bh_interpret_exact():
+    """Head-natural path (BlockSpec index maps instead of XLA transposes) is
+    bit-identical to the v8 levels path on permuted inputs."""
+    from autofocusformermod_tpu.ops.pallas.msdetrpc_kernel import (
+        msdetrpc_pallas_bh_impl,
+        msdetrpc_pallas_levels_impl,
+    )
+
+    nn_idx, nn_w, attn, val, sizes = _make_case(
+        np.random.default_rng(3), bh=4, n=140
+    )
+    idxs, ws = _to_levels(nn_idx, nn_w, attn, sizes)
+    h = 2
+    bh, ntot, c_ = val.shape
+    b = bh // h
+    idxs_bh, ws_bh = _to_bh(idxs, ws, h)
+    val_bh = jnp.asarray(val).reshape(b, h, ntot, c_).transpose(0, 2, 1, 3)
+
+    ref = np.asarray(msdetrpc_pallas_levels_impl(
+        tuple(jnp.asarray(x) for x in idxs),
+        tuple(jnp.asarray(x) for x in ws),
+        jnp.asarray(val), sizes, interpret=True, version=8,
+    ))
+    got = np.asarray(msdetrpc_pallas_bh_impl(
+        idxs_bh, ws_bh, val_bh, sizes, interpret=True,
+    ))
+    got_t = got.transpose(0, 2, 1, 3).reshape(bh, -1, c_)
+    np.testing.assert_array_equal(got_t, ref)
+
+
+def test_msdetrpc_pallas_bh_bwd_interpret():
+    """Head-natural backward kernel vs autodiff of the XLA reference."""
+    from autofocusformermod_tpu.ops.clusten import msdetrpc
+    from autofocusformermod_tpu.ops.pallas.msdetrpc_kernel import (
+        msdetrpc_pallas_bh_bwd_impl,
+    )
+
+    rng = np.random.default_rng(4)
+    nn_idx, nn_w, attn, val, sizes = _make_case(rng, bh=4, n=140)
+    idxs, ws = _to_levels(nn_idx, nn_w, attn, sizes)
+    h = 2
+    bh, ntot, c_ = val.shape
+    b, n = bh // h, nn_idx.shape[1]
+    idxs_bh, ws_bh = _to_bh(idxs, ws, h)
+    val_bh = jnp.asarray(val).reshape(b, h, ntot, c_).transpose(0, 2, 1, 3)
+    g_bh = jnp.asarray(rng.standard_normal((b, n, h, c_)), jnp.float32)
+
+    _, dws, dval = msdetrpc_pallas_bh_bwd_impl(
+        idxs_bh, ws_bh, val_bh, g_bh, sizes, interpret=True,
+    )
+
+    # XLA reference on the equivalent (b*h)-transposed layout
+    L = len(sizes)
+    kpts = nn_idx.shape[2] // L
+    g_flat = g_bh.transpose(0, 2, 1, 3).reshape(bh, n, c_)
+
+    def ref_fn(ws_, v):
+        parts_i, parts_w = [], []
+        for ki in range(kpts):
+            for j in range(L):
+                parts_i.append(jnp.asarray(nn_idx[:, :, ki * L + j, :]))
+                parts_w.append(
+                    ws_[j].reshape(bh, n, kpts, 4)[:, :, ki, :]
+                )
+        idx_full = jnp.stack(parts_i, axis=2)
+        w_full = jnp.stack(parts_w, axis=2)
+        ones = jnp.ones((bh, n, kpts * L), jnp.float32)
+        return jnp.vdot(msdetrpc(idx_full, w_full, ones, v), g_flat)
+
+    dref = jax.grad(ref_fn, argnums=(0, 1))(
+        tuple(jnp.asarray(x) for x in ws), jnp.asarray(val)
+    )
+    for j in range(L):
+        mine = np.asarray(dws[j]).transpose(0, 2, 1, 3).reshape(bh, n, -1)
+        np.testing.assert_allclose(mine, np.asarray(dref[0][j]),
+                                   rtol=1e-4, atol=1e-4)
+    dval_t = np.asarray(dval).transpose(0, 2, 1, 3).reshape(bh, ntot, c_)
+    np.testing.assert_allclose(dval_t, np.asarray(dref[1]),
+                               rtol=1e-4, atol=1e-4)

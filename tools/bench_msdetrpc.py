@@ -92,21 +92,53 @@ def main() -> None:
             err = float(jnp.max(jnp.abs(got - ref)))
             print(f"v{v} vs v2 max abs err {err:.2e}", flush=True)
 
+    levels_mode = os.environ.get("BENCH_LEVELS", "0") not in ("0", "false")
+
+    def to_levels(nn_idx, nn_w, attn, n):
+        """Interleaved (bh, n, l*k, m) -> per-level (bh, n, k*m) local idx +
+        attn-folded weights, as the pixel decoder supplies them."""
+        offs = np.cumsum([0] + list(level_sizes))[:-1]
+        w = nn_w * attn[..., None]
+        idxs, ws = [], []
+        for j in range(l):
+            slots = [ki * l + j for ki in range(k)]
+            ij = (nn_idx[:, :, slots, :] - int(offs[j])).reshape(bh, n, k * m)
+            wj = w[:, :, slots, :].reshape(bh, n, k * m)
+            idxs.append(ij.astype(jnp.int32))
+            ws.append(wj.astype(jnp.float32))
+        return tuple(idxs), tuple(ws)
+
     for version in versions:
         total = 0.0
         for n in (4096, 1024, 256):
             nn_idx, nn_w, attn = make_inputs(n, local=local)
+            if levels_mode:
+                idxs, ws = to_levels(nn_idx, nn_w, attn, n)
 
-            def body(salt, i, w, a, v, version=version):
-                s = salt
-                for _ in range(REPS):
-                    out = mk.msdetrpc_pallas_impl(
-                        i, w + s * 0.0, a, v, level_sizes, version=version
-                    )
-                    s = out.sum() * 0.0
-                return s
+                def body(salt, *args, version=version):
+                    nlv = len(level_sizes)
+                    i_t, w_t, v = args[:nlv], args[nlv:2 * nlv], args[-1]
+                    s = salt
+                    for _ in range(REPS):
+                        out = mk.msdetrpc_pallas_levels_impl(
+                            i_t, tuple(wt + s * 0.0 for wt in w_t), v,
+                            level_sizes, version=version,
+                        )
+                        s = out.sum() * 0.0
+                    return s
 
-            dt = timed(jax.jit(body), nn_idx, nn_w, attn, val)
+                dt = timed(jax.jit(body), *idxs, *ws, val)
+            else:
+                def body(salt, i, w, a, v, version=version):
+                    s = salt
+                    for _ in range(REPS):
+                        out = mk.msdetrpc_pallas_impl(
+                            i, w + s * 0.0, a, v, level_sizes, version=version
+                        )
+                        s = out.sum() * 0.0
+                    return s
+
+                dt = timed(jax.jit(body), nn_idx, nn_w, attn, val)
             total += dt
             print(f"v{version} n={n:5d}  {dt * 1e3:7.2f} ms", flush=True)
         print(f"v{version} layer total {total * 1e3:7.2f} ms "

@@ -51,9 +51,13 @@ def main() -> None:
         variables = jax.jit(lambda v: amp_variables(v))(dict(variables))
 
     def scalarize(tree):
+        # MUST consume every numeric leaf (incl. int argmax outputs): a
+        # stage whose result doesn't feed the salt is dead code to XLA and
+        # measures nothing (r3 fix: full+inference read 5 ms because the
+        # int32 argmax was dropped here)
         leaves = [
             jnp.sum(l.astype(jnp.float32)) for l in jax.tree_util.tree_leaves(tree)
-            if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+            if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.number)
         ]
         return sum(leaves) * 1e-9
 

@@ -80,21 +80,35 @@ def main() -> None:
         print(f"{name:24s} {dt * 1e3:8.1f} ms/batch{batch}", flush=True)
         return dt
 
-    full = time_variant("full")
-    no_ms = time_variant("no msdetrpc", ABLATE_MSDETRPC=True)
-    no_pack = time_variant("no packed gathers", ABLATE_PACK=True)
-    no_knn = time_variant("no knn", ABLATE_KNN=True)
-    no_shep = time_variant("no shepard pow", ABLATE_SHEPARD=True)
-    no_all = time_variant(
-        "dense only", ABLATE_MSDETRPC=True, ABLATE_PACK=True, ABLATE_KNN=True
-    )
+    # PROF_VARIANTS: comma list to run a subset (remote compiles are minutes
+    # each; one 600s window rarely fits all six — run them one at a time)
+    variants = {
+        "full": {},
+        "no_msdetrpc": {"ABLATE_MSDETRPC": True},
+        "no_pack": {"ABLATE_PACK": True},
+        "no_knn": {"ABLATE_KNN": True},
+        "no_shepard": {"ABLATE_SHEPARD": True},
+        "dense_only": {"ABLATE_MSDETRPC": True, "ABLATE_PACK": True,
+                       "ABLATE_KNN": True},
+    }
+    selected = os.environ.get("PROF_VARIANTS", ",".join(variants)).split(",")
+    results = {}
+    for name in selected:
+        results[name] = time_variant(name, **variants[name])
 
-    print("\nin-context costs (full - ablated):")
-    print(f"  msdetrpc kernel      {(full - no_ms) * 1e3:8.1f} ms")
-    print(f"  packed table gathers {(full - no_pack) * 1e3:8.1f} ms")
-    print(f"  grid 4-NN knn        {(full - no_knn) * 1e3:8.1f} ms")
-    print(f"  shepard pow/weights  {(full - no_shep) * 1e3:8.1f} ms")
-    print(f"  dense/other residual {no_all * 1e3:8.1f} ms")
+    if "full" in results:
+        full = results["full"]
+        print("\nin-context costs (full - ablated):")
+        for name, label in [
+            ("no_msdetrpc", "msdetrpc kernel"),
+            ("no_pack", "packed table gathers"),
+            ("no_knn", "grid 4-NN knn"),
+            ("no_shepard", "shepard pow/weights"),
+        ]:
+            if name in results:
+                print(f"  {label:20s} {(full - results[name]) * 1e3:8.1f} ms")
+        if "dense_only" in results:
+            print(f"  dense/other residual {results['dense_only'] * 1e3:8.1f} ms")
 
 
 if __name__ == "__main__":

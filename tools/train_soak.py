@@ -1,0 +1,109 @@
+"""On-TPU training soak (VERDICT r2 item 9): ~300 bf16 train steps on one
+fixed synthetic batch (overfit), asserting finite, descending loss — proves
+the Pallas backward kernels + AMP + JV matcher + AdamW integrate beyond the
+~13-step bench.  Writes the loss curve to SOAK_r03.jsonl (one JSON per line)
+and exits nonzero on NaN or insufficient descent.
+
+Usage: python tools/train_soak.py [steps] [batch] [size]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _blob_targets(rng, batch, t, size, nc):
+    """Coherent blob masks + labels (overfittable, unlike iid noise masks)."""
+    yy, xx = np.mgrid[0:size, 0:size]
+    masks = np.zeros((batch, t, size, size), np.float32)
+    labels = rng.integers(0, nc, (batch, t)).astype(np.int32)
+    for b in range(batch):
+        for k in range(t):
+            cy, cx = rng.uniform(0.2, 0.8, 2) * size
+            r = rng.uniform(0.08, 0.25) * size
+            masks[b, k] = ((yy - cy) ** 2 + (xx - cx) ** 2 < r * r)
+    return labels, masks
+
+
+def main() -> None:
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    size = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_cfg
+    from autofocusformermod_tpu.engine.optimizer import build_optimizer
+    from autofocusformermod_tpu.models import maskformer_from_config
+    from autofocusformermod_tpu.parallel import TrainState, make_train_step
+
+    cfg = _flagship_cfg()
+    cfg.SOLVER.AMP.ENABLED = True
+    cfg.SOLVER.BASE_LR = 1e-4
+
+    model = maskformer_from_config(cfg)
+    rng = np.random.default_rng(0)
+    t = 8
+    labels, masks = _blob_targets(
+        rng, batch, t, size, cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES
+    )
+    data = {
+        "image": jnp.asarray(
+            rng.uniform(0, 255, (batch, size, size, 3)), jnp.float32
+        ),
+        "labels": jnp.asarray(labels),
+        "masks": jnp.asarray(masks),
+        "valid": jnp.ones((batch, t), bool),
+    }
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), data["image"][:1], train=False)
+    )()
+    tx = build_optimizer(cfg, variables["params"])
+    state = TrainState.create(
+        variables["params"], variables.get("batch_stats", {}), tx
+    )
+    step_fn = make_train_step(
+        model, cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES, num_points=12544,
+        donate=False, amp=True,
+    )
+
+    out_path = os.path.join(os.path.dirname(__file__), "..", "SOAK_r03.jsonl")
+    losses = []
+    t0 = time.perf_counter()
+    with open(out_path, "w") as f:
+        for i in range(steps):
+            state, metrics = step_fn(state, data, jax.random.PRNGKey(i))
+            if i % 10 == 0 or i == steps - 1:
+                rec = {
+                    "step": i,
+                    "total_loss": float(metrics["total_loss"]),
+                    "loss_ce": float(metrics.get("loss_ce", 0.0)),
+                    "loss_mask": float(metrics.get("loss_mask", 0.0)),
+                    "loss_dice": float(metrics.get("loss_dice", 0.0)),
+                    "elapsed_s": round(time.perf_counter() - t0, 1),
+                }
+                losses.append(rec["total_loss"])
+                f.write(json.dumps(rec) + "\n")
+                f.flush()
+                print(rec, flush=True)
+                assert np.isfinite(rec["total_loss"]), f"NaN at step {i}"
+
+    first = np.mean(losses[:3])
+    last = np.mean(losses[-3:])
+    print(f"soak done: first~{first:.3f} last~{last:.3f} "
+          f"({steps} steps, {time.perf_counter() - t0:.0f}s)")
+    assert last < 0.5 * first, (
+        f"insufficient descent: {first:.3f} -> {last:.3f}"
+    )
+
+
+if __name__ == "__main__":
+    main()
