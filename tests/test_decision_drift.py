@@ -1,0 +1,143 @@
+"""Decision-level drift budget for the fast path (VERDICT r2 item 6).
+
+Tensor budgets (tests/test_amp.py, tests/test_msdetrpc_pallas.py) bound
+elementwise error, but metrics only see *decisions*: the semantic argmax
+class per pixel, the mask logit > 0 threshold, and the per-query argmax
+class.  These tests bound the flip rate between the fp32 reference path and
+the production fast path so we know how much of the 0.3-mIoU budget
+(SURVEY.md north star) the fast path can possibly spend.
+
+Two tiers:
+  - CPU (always runs): fp32 vs bf16-AMP on the tiny model.  Pallas kernels
+    don't dispatch on CPU, so this isolates the AMP contribution.
+  - TPU (skipped elsewhere): the real-chip flagship measurement lives in
+    tools/measure_decision_drift.py; its committed artifact is
+    DRIFT_r03.json.
+
+Reference analogue: the reference certifies its fp16 autocast at the task
+metric level only (TEST.EXPECTED_RESULTS, reference train_net.py); decision
+flips are the tightest proxy available without datasets.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from test_maskformer import tiny_cfg
+
+from autofocusformermod_tpu.models import (
+    maskformer_from_config,
+    semantic_inference,
+    upsample_masks,
+)
+from autofocusformermod_tpu.parallel.precision import amp_variables
+
+
+def _structured_image(size, batch=2, seed=0):
+    """Blobs + texture, not white noise — decisions on pure noise are
+    uniformly near-tied and overstate flip rates."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:size, 0:size]
+    img = np.stack(
+        [
+            127
+            + 80 * np.sin(xx / 13.0 + k) * np.cos(yy / 17.0 - 2 * k)
+            + 25 * rng.standard_normal((size, size))
+            for k in range(3)
+        ],
+        -1,
+    )
+    return jnp.asarray(
+        np.clip(img, 0, 255)[None].repeat(batch, 0), jnp.float32
+    )
+
+
+def _decisions(model, variables, x, size):
+    @jax.jit
+    def f(v, x):
+        out = model.apply(v, x, train=False)
+        masks = upsample_masks(out["pred_masks"], (size, size))
+        sem = jax.vmap(semantic_inference)(out["pred_logits"], masks)
+        return (
+            jnp.argmax(sem, axis=1),
+            masks > 0,
+            jnp.argmax(out["pred_logits"], -1),
+        )
+
+    a, b, c = f(variables, x)
+    return np.asarray(a), np.asarray(b), np.asarray(c)
+
+
+def test_amp_decision_flips_bounded():
+    """bf16 AMP vs fp32 on identical weights: the metric-visible decisions
+    (per-pixel semantic argmax, mask logit threshold) must stay far inside
+    the 0.1%-of-pixels tightening threshold (VERDICT r2 item 6).
+
+    Per-query class argmax is reported but NOT bounded here: at random init
+    the AFF top-k token selection flips under bf16 roundoff and downstream
+    query features diverge O(1) (the chance-dominated regime documented in
+    test_amp.py::test_outputs_fp32_within_budget) — measured 0.8 flip rate
+    on true-fp32 CPU, while the pixel decisions those queries vote into
+    stay stable (sem argmax 0.0, mask threshold 4.9e-5) because semantic
+    inference marginalizes over queries."""
+    size = 64
+    cfg = tiny_cfg()
+    model32 = maskformer_from_config(cfg)
+    cfg16 = cfg.clone()
+    cfg16.SOLVER.AMP.ENABLED = True
+    model16 = maskformer_from_config(cfg16)
+
+    x = _structured_image(size)
+    variables = jax.jit(
+        lambda: model32.init(jax.random.PRNGKey(0), x, train=False)
+    )()
+
+    sem32, thr32, cls32 = _decisions(model32, variables, x, size)
+    sem16, thr16, cls16 = _decisions(
+        model16, amp_variables(dict(variables)), x, size
+    )
+
+    sem_flips = float((sem32 != sem16).mean())
+    thr_flips = float((thr32 != thr16).mean())
+    cls_flips = float((cls32 != cls16).mean())
+
+    print(f"amp flips: sem {sem_flips:.2e} thr {thr_flips:.2e} "
+          f"cls {cls_flips:.2e} (cls chance-dominated at random init)")
+    assert sem_flips < 1e-3, f"semantic argmax flip rate {sem_flips:.2e}"
+    assert thr_flips < 2e-3, f"mask threshold flip rate {thr_flips:.2e}"
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="Pallas decisions need the TPU"
+)
+def test_pallas_decision_flips_bounded():
+    """Pallas kernels (fp32 params, no AMP) vs the XLA reference path on
+    the tiny model: the kernel substitutions alone must not move decisions
+    by more than the AMP tier's budget."""
+    from autofocusformermod_tpu.ops import dispatch
+
+    size = 64
+    cfg = tiny_cfg()
+    model = maskformer_from_config(cfg)
+    x = _structured_image(size)
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), x, train=False)
+    )()
+
+    saved = dispatch._PALLAS_ENV
+    try:
+        dispatch._PALLAS_ENV = False
+        sem_x, thr_x, cls_x = _decisions(model, variables, x, size)
+        dispatch._PALLAS_ENV = True
+        sem_p, thr_p, cls_p = _decisions(model, variables, x, size)
+    finally:
+        dispatch._PALLAS_ENV = saved
+
+    assert float((sem_x != sem_p).mean()) < 1e-3
+    assert float((thr_x != thr_p).mean()) < 2e-3
+    # per-query class argmax: chance-dominated at random init (see above)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])

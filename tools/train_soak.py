@@ -40,6 +40,15 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # Reuse the persistent compile cache (same dir as tests/conftest.py):
+    # the train step costs ~220s to compile cold, ~0 warm.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       os.path.expanduser("~/.cache/jax-pytest")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from __graft_entry__ import _flagship_cfg
     from autofocusformermod_tpu.engine.optimizer import build_optimizer
     from autofocusformermod_tpu.models import maskformer_from_config
