@@ -1,7 +1,17 @@
 """Bound the in-framework evaluators' deviation from the official protocols
-(VERDICT r2 weak #7): hand-derived COCO-AP values, plus cross-checks against
-pycocotools / panopticapi that run wherever those libraries exist (skipped
-in this environment — no network — but keep the contract executable)."""
+(VERDICT r2 weak #7) in three tiers:
+
+1. hand-derived values (pin exact interpolation / VOID-discount semantics);
+2. UNCONDITIONAL cross-checks against in-test transcriptions of the
+   published algorithms (pycocotools cocoeval.py evaluateImg+accumulate,
+   panopticapi evaluation.py pq_compute_single_core+PQStat) on random blob
+   data — these are independent reimplementations from the published
+   protocol, not imports of framework code, so agreement is evidence;
+3. the same cross-checks against the real libraries wherever they exist
+   (absent from this image — no network — so tier 3 skips here, and also
+   asserts transcription == library when it does run)."""
+
+from collections import defaultdict
 
 import numpy as np
 import pytest
@@ -114,7 +124,102 @@ def _rand_instances(seed, n_img=4, n_cls=3, hw=48):
     return data
 
 
+def _cocoeval_segm_oracle(data, n_cls):
+    """Transcription of pycocotools cocoeval.py (evaluateImg + accumulate)
+    for iouType='segm', areaRng=all, maxDets=100, no crowd/ignore —
+    independent of the framework evaluator's code path.  Returns
+    {AP, AP50, AP75} on the COCO 0-100 scale."""
+    iou_thrs = np.linspace(0.5, 0.95, 10)
+    rec_thrs = np.linspace(0.0, 1.0, 101)
+    max_dets = 100
+
+    # per (category, image): greedy per-threshold matching, score-ordered
+    per_cat = {c: {"scores": [], "matched": [], "npig": 0}
+               for c in range(n_cls)}
+    for d in data:
+        for c in range(n_cls):
+            g_idx = np.nonzero(d["gt_cls"] == c)[0]
+            d_idx = np.nonzero(d["dt_cls"] == c)[0]
+            per_cat[c]["npig"] += len(g_idx)
+            if len(d_idx) == 0:
+                continue
+            order = np.argsort(-d["dt_scores"][d_idx], kind="mergesort")
+            d_idx = d_idx[order][:max_dets]
+            scores = d["dt_scores"][d_idx]
+            ious = np.zeros((len(d_idx), len(g_idx)))
+            for di, dm in enumerate(d["dt_masks"][d_idx]):
+                for gi, gm in enumerate(d["gt_masks"][g_idx]):
+                    inter = np.logical_and(dm, gm).sum()
+                    union = dm.sum() + gm.sum() - inter
+                    ious[di, gi] = inter / union if union else 0.0
+            dtm = np.zeros((len(iou_thrs), len(d_idx)), bool)
+            for ti, t in enumerate(iou_thrs):
+                gtm = np.zeros(len(g_idx), bool)
+                for di in range(len(d_idx)):
+                    best, m = min(t, 1 - 1e-10), -1
+                    for gi in range(len(g_idx)):
+                        if gtm[gi] or ious[di, gi] < best:
+                            continue
+                        best, m = ious[di, gi], gi
+                    if m >= 0:
+                        gtm[m] = True
+                        dtm[ti, di] = True
+            per_cat[c]["scores"].append(scores)
+            per_cat[c]["matched"].append(dtm)
+
+    # accumulate: global score sort per category, envelope, 101-pt sample
+    precision = np.full((len(iou_thrs), len(rec_thrs), n_cls), -1.0)
+    for c in range(n_cls):
+        npig = per_cat[c]["npig"]
+        if npig == 0 or not per_cat[c]["scores"]:
+            continue
+        scores = np.concatenate(per_cat[c]["scores"])
+        dtm = np.concatenate(per_cat[c]["matched"], axis=1)
+        order = np.argsort(-scores, kind="mergesort")
+        dtm = dtm[:, order]
+        tp = np.cumsum(dtm, axis=1).astype(float)
+        fp = np.cumsum(~dtm, axis=1).astype(float)
+        for ti in range(len(iou_thrs)):
+            rc = tp[ti] / npig
+            pr = tp[ti] / (tp[ti] + fp[ti] + np.spacing(1))
+            pr = pr.tolist()
+            for i in range(len(pr) - 1, 0, -1):
+                if pr[i] > pr[i - 1]:
+                    pr[i - 1] = pr[i]
+            q = np.zeros(len(rec_thrs))
+            inds = np.searchsorted(rc, rec_thrs, side="left")
+            for ri, pi in enumerate(inds):
+                if pi < len(pr):
+                    q[ri] = pr[pi]
+            precision[ti, :, c] = q
+
+    def _mean(p):
+        return float(np.mean(p[p > -1]) * 100) if (p > -1).any() else -1.0
+
+    return {"AP": _mean(precision), "AP50": _mean(precision[0]),
+            "AP75": _mean(precision[5])}
+
+
+def test_ap_matches_published_algorithm():
+    """UNCONDITIONAL cross-check of InstanceSegEvaluator against the
+    transcribed pycocotools protocol on random blob predictions (several
+    seeds; overlapping rectangles exercise ties, double matches, FPs)."""
+    n_cls, hw = 3, 48
+    for seed in (7, 21, 99):
+        data = _rand_instances(seed, n_cls=n_cls, hw=hw)
+        ev = InstanceSegEvaluator(num_classes=n_cls)
+        for i, d in enumerate(data):
+            ev.process(i, d["dt_masks"], d["dt_cls"], d["dt_scores"],
+                       d["gt_masks"], d["gt_cls"])
+        mine = ev.evaluate()
+        ref = _cocoeval_segm_oracle(data, n_cls)
+        for k in ("AP", "AP50", "AP75"):
+            assert abs(mine[k] - ref[k]) < 1e-6, (seed, k, mine[k], ref[k])
+
+
 def test_ap_matches_pycocotools_if_available():
+    """Tier-3: same data through the real pycocotools, where installed;
+    also certifies the transcription oracle against the library."""
     pycocotools = pytest.importorskip("pycocotools")  # noqa: F841
     from pycocotools import mask as maskutil
     from pycocotools.coco import COCO
@@ -147,12 +252,157 @@ def test_ap_matches_pycocotools_if_available():
     ce = COCOeval(gt, dt, iouType="segm")
     ce.evaluate(); ce.accumulate(); ce.summarize()
     mine = ev.evaluate()
+    oracle = _cocoeval_segm_oracle(data, n_cls)
     assert abs(mine["AP"] - ce.stats[0] * 100) < 0.5
     assert abs(mine["AP50"] - ce.stats[1] * 100) < 0.5
+    assert abs(oracle["AP"] - ce.stats[0] * 100) < 1e-6
+
+
+class _PQStatLocal:
+    """Transcription of panopticapi.evaluation.PQStat: per-category
+    tp/fp/fn/iou accumulators + the published averaging rule (categories
+    with tp+fp+fn == 0 are excluded from the mean)."""
+
+    class _Cat:
+        def __init__(self):
+            self.tp = self.fp = self.fn = 0
+            self.iou = 0.0
+
+    def __init__(self):
+        self.per_cat = defaultdict(self._Cat)
+
+    def __getitem__(self, c):
+        return self.per_cat[c]
+
+    def pq_average(self, categories, isthing=None):
+        pq = n = 0
+        for c, info in categories.items():
+            if isthing is not None and bool(info["isthing"]) != isthing:
+                continue
+            s = self.per_cat[c]
+            if s.tp + s.fp + s.fn == 0:
+                continue
+            n += 1
+            pq += s.iou / (s.tp + 0.5 * s.fp + 0.5 * s.fn)
+        return ({"pq": pq / n if n else 0.0},)
+
+
+def _pq_single_core(pq_stat, gt_pan, gt_info, dt_pan, dt_info):
+    """Transcription of panopticapi's pq_compute_single_core per-image
+    matching (file IO replaced with in-memory maps): intersection via the
+    OFFSET trick, VOID-discounted unions, crowd handling, the >0.5-void FP
+    exemption."""
+    OFFSET = 256 * 256 * 256
+    VOID = 0
+    gt_segms = {el["id"]: el for el in gt_info}
+    pred_segms = {el["id"]: el for el in dt_info}
+    pan_gt_pred = (gt_pan.astype(np.uint64) * OFFSET
+                   + dt_pan.astype(np.uint64))
+    gt_pred_map = {}
+    labels, labels_cnt = np.unique(pan_gt_pred, return_counts=True)
+    for label, intersection in zip(labels, labels_cnt):
+        gt_pred_map[(label // OFFSET, label % OFFSET)] = intersection
+    gt_matched, pred_matched = set(), set()
+    for (gt_label, pred_label), intersection in gt_pred_map.items():
+        if gt_label not in gt_segms or pred_label not in pred_segms:
+            continue
+        if gt_segms[gt_label]["iscrowd"] == 1:
+            continue
+        if (gt_segms[gt_label]["category_id"]
+                != pred_segms[pred_label]["category_id"]):
+            continue
+        union = (
+            pred_segms[pred_label]["area"] + gt_segms[gt_label]["area"]
+            - intersection - gt_pred_map.get((VOID, pred_label), 0)
+        )
+        iou = intersection / union
+        if iou > 0.5:
+            pq_stat[gt_segms[gt_label]["category_id"]].tp += 1
+            pq_stat[gt_segms[gt_label]["category_id"]].iou += iou
+            gt_matched.add(gt_label)
+            pred_matched.add(pred_label)
+    crowd_labels = defaultdict(int)
+    for gt_label, gt_i in gt_segms.items():
+        if gt_label in gt_matched:
+            continue
+        if gt_i["iscrowd"] == 1:
+            crowd_labels[gt_i["category_id"]] = gt_label
+            continue
+        pq_stat[gt_i["category_id"]].fn += 1
+    for pred_label, pred_i in pred_segms.items():
+        if pred_label in pred_matched:
+            continue
+        intersection = gt_pred_map.get((VOID, pred_label), 0)
+        if pred_i["category_id"] in crowd_labels:
+            intersection += gt_pred_map.get(
+                (crowd_labels[pred_i["category_id"]], pred_label), 0
+            )
+        if intersection / pred_i["area"] > 0.5:
+            continue
+        pq_stat[pred_i["category_id"]].fp += 1
+
+
+def _rand_panoptic(seed, n_img=4, n_cls=3, hw=48):
+    """Random rectangle panoptic maps in panopticapi's format: (pan_map,
+    segments_info) pairs for gt and pred."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n_img):
+        def seg_map(n):
+            pan = np.zeros((hw, hw), np.uint32)
+            info = []
+            for k in range(n):
+                y, x = rng.integers(0, hw - 12, 2)
+                dy, dx = rng.integers(6, 13, 2)
+                sid = 1 + k
+                pan[y:y + dy, x:x + dx] = sid
+                info.append({"id": int(sid),
+                             "category_id": int(rng.integers(0, n_cls))})
+            # drop entries fully overwritten by later rectangles
+            info = [s for s in info if (pan == s["id"]).any()]
+            for s in info:
+                s["area"] = int((pan == s["id"]).sum())
+                s["iscrowd"] = 0
+            return pan, info
+
+        gt_pan, gt_info = seg_map(int(rng.integers(1, 5)))
+        dt_pan, dt_info = seg_map(int(rng.integers(1, 7)))
+        out.append((gt_pan, gt_info, dt_pan, dt_info))
+    return out
+
+
+def _run_pq_cross_check(pq_stat_cls, seed=11, n_cls=3):
+    categories = {c: {"id": c, "isthing": int(c == 0)} for c in range(n_cls)}
+    pq_stat = pq_stat_cls()
+    ev = PanopticEvaluator(thing_ids={0}, num_classes=n_cls)
+    for gt_pan, gt_info, dt_pan, dt_info in _rand_panoptic(seed, n_cls=n_cls):
+        _pq_single_core(pq_stat, gt_pan, gt_info, dt_pan, dt_info)
+        ev.process(
+            dt_pan.astype(np.int32),
+            [{"id": s["id"], "category_id": s["category_id"],
+              "isthing": s["category_id"] == 0} for s in dt_info],
+            gt_pan.astype(np.int32),
+            [{"id": s["id"], "category_id": s["category_id"],
+              "isthing": s["category_id"] == 0} for s in gt_info],
+        )
+    lib_pq = pq_stat.pq_average(categories, isthing=None)[0]["pq"] * 100
+    mine = ev.evaluate()
+    assert abs(mine["PQ"] - lib_pq) < 0.5, (seed, mine["PQ"], lib_pq)
+
+
+def test_pq_matches_published_algorithm():
+    """UNCONDITIONAL cross-check of PanopticEvaluator against the
+    transcribed panopticapi protocol (matching + PQStat averaging) on
+    random overlapping-rectangle panoptic maps."""
+    for seed in (11, 42, 137):
+        _run_pq_cross_check(_PQStatLocal, seed=seed)
 
 
 def test_pq_matches_panopticapi_if_available():
+    """Tier-3: same cross-check with the real panopticapi PQStat, where
+    installed (its file-IO wrapper is bypassed; the per-image matching is
+    the transcription certified above)."""
     pytest.importorskip("panopticapi")
-    # contract documented; full wiring mirrors the pycocotools check above
-    # (panopticapi needs png files on disk; construct under tmp_path when
-    # the library exists)
+    from panopticapi.evaluation import PQStat
+
+    _run_pq_cross_check(PQStat, seed=11)
