@@ -682,9 +682,18 @@ def build_backbone_indexed(cfg, li: int, name: str = None):
     head = cfg.MODEL.MR_SEM_SEG_HEAD
     n_scales = cfg.MODEL.MASK_FINER.NUM_RESOLUTION_SCALES
     name = name or mr.NAME[li]
-    dpr = list(np.linspace(0, mr.DROP_PATH_RATE, sum(mr.DEPTHS)))
+    # DROP_PATH_RATE is a scalar in the reference builder
+    # (mixres_vit.py:538-540 torch.linspace over the global depth), but
+    # several shipped reference configs set a per-stage LIST (all zeros) —
+    # which torch.linspace rejects, so the reference itself cannot run them.
+    # We accept the list as per-stage terminal rates: stage li's blocks take
+    # their positions on the global ramp scaled to its own max.  Identical to
+    # the reference formula for scalars and for the all-zero list configs.
+    rate = mr.DROP_PATH_RATE
+    max_rate = float(rate[li]) if isinstance(rate, (list, tuple)) else float(rate)
+    dpr = list(np.linspace(0, max_rate, sum(mr.DEPTHS)))
     lo = sum(mr.DEPTHS[:li])
-    drop_path = tuple(dpr[lo : lo + mr.DEPTHS[li]])
+    drop_path = tuple(float(d) for d in dpr[lo : lo + mr.DEPTHS[li]])
     common = dict(
         scale=li,
         n_scales=n_scales,

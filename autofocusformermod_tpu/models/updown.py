@@ -296,7 +296,11 @@ def updown_from_config(cfg, down_only: bool = False) -> UpDownBackbone:
         split_ratios=tuple(mr.SPLIT_RATIO),
         drop_rates=tuple(mr.DROP_RATE),
         attn_drop_rates=tuple(mr.ATTN_DROP_RATE),
-        drop_path_rate=mr.DROP_PATH_RATE,
+        # list-valued DROP_PATH_RATE (see maskfiner.build_backbone_indexed):
+        # UpDown has one global ramp, so take the max as the terminal rate
+        drop_path_rate=(max(float(r) for r in mr.DROP_PATH_RATE)
+                        if isinstance(mr.DROP_PATH_RATE, (list, tuple))
+                        else float(mr.DROP_PATH_RATE)),
         layer_scale=mr.LAYER_SCALE,
         num_register_tokens=mr.NUM_REGISTER_TOKENS,
         keep_old_scale=mr.KEEP_OLD_SCALE,

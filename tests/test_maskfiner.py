@@ -61,6 +61,29 @@ def cascade_out():
     return cfg, model, variables, x, out
 
 
+def test_list_drop_path_rate_builds_and_runs():
+    """Several shipped reference configs set MODEL.MR.DROP_PATH_RATE as a
+    per-stage LIST (e.g. maskfiner_mini_bs32_80k.yaml: [0.0 x4]) — the
+    reference builder's torch.linspace can't even consume that.  We accept
+    the list (per-stage terminal rates): every block must get a scalar float
+    rate and a train-mode forward must run (regression: np.linspace over a
+    list built 4-vector rates and DropPath crashed at init)."""
+    cfg = tiny_maskfiner_cfg()
+    cfg.MODEL.MR.DROP_PATH_RATE = [0.1, 0.2, 0.3]
+    model = maskfiner_from_config(cfg)
+    x = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 255, (1, 64, 64, 3)), jnp.float32
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, train=True,
+    )
+    out = model.apply(
+        variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)}
+    )
+    assert np.isfinite(np.asarray(out["pred_masks"], np.float32)).all()
+
+
 def test_cascade_output_structure(cascade_out):
     cfg, model, variables, x, out = cascade_out
     q = cfg.MODEL.MASK_FINER.NUM_OBJECT_QUERIES
