@@ -12,7 +12,12 @@ Reformulation as DENSE one-hot x matmul, blocked per level:
 
 Duplicate indices accumulate in W, matching the gather-sum exactly
 (msdetrpc_cuda_kernel.cu semantics); w' carries the attention weights folded
-in (w * attn).  Two generations of the W build:
+in (w * attn).  NOTE (r3): the one-hot x MXU formulation below is no longer
+the default forward — _kernel_v13 (windowed per-(band, pair) lane gathers,
+pure VPU, exact fp32) measures 2x faster and is FWD_VERSION; the backward
+default is _bwd_kernel_v8/v9 (dense-score d_w via lane gather).  The MXU
+history below is kept because its measurements explain why.  Two
+generations of the W build:
 
   v1 (_kernel): pairs_per_level statically-unrolled compare-select sweeps
       over the full (128, n_j) W — pure VPU, measured ~100 ms for the
@@ -245,7 +250,10 @@ def _kernel_v4(idx_ref, w_ref, val_ref, out_ref, *, level_sizes,
 
 
 _WINDOW_BANDS = 8
-_WINDOW_SLACK = 8
+# Extra bands beyond the expected per-block spread (ceil(BQ*nj/n_pad/128)).
+# The expected spread is usually 1 band, so slack dominates the windowed
+# iteration count; overridable for microbench sweeps (tools/bench_msdetrpc).
+_WINDOW_SLACK = int(__import__("os").environ.get("MSDETRPC_WINDOW_SLACK", 8))
 
 
 def _kernel_v5(idx_ref, w_ref, val_ref, out_ref, acc_ref, *, level_sizes,
@@ -712,6 +720,209 @@ def _bwd_kernel_v4(idx_ref, w_ref, val_ref, g_ref, dval_ref, dw_ref, *,
         off += nj
 
 
+def _bwd_kernel_v7(idx_ref, w_ref, val_ref, g_ref, dvalt_ref, dw_ref, *,
+                   level_sizes, pairs_per_level, n_pad):
+    """v4 with the two MXU whales restructured (r3):
+
+    1. d_w via dense score matrix instead of row extraction.  v2/v4 extract
+       U[q,p,:] = val[idx[q,p],:] per band with a (BQ*P, 128) x (128, c_)
+       dot — 2048 streamed rows at 32/128 output lanes per band, the
+       backward's dominant MXU term — then reduce U.g at the end.  But
+       d_w[q,p] = g[q].val[idx[q,p]] = M[q, idx[q,p]] for the dense score
+       matrix M = g @ val^T, so per band ONE (BQ, c_) x (c_, 128) dot
+       (128 streamed rows, full lanes) + a VPU masked lane-reduce replaces
+       it: ~16x fewer streamed MXU rows.  Also kills the fp32 (BQ, P, c_)
+       u_acc that v2/v4 hold live across the whole band loop (64 vregs).
+    2. dval accumulated TRANSPOSED.  v2/v4's dval update (128t, BQ)@(BQ, c_)
+       writes c_=32 of 128 output lanes; contracting BQ the other way —
+       (c_, BQ')@(BQ', 128t) via dot_general on (g, w_band), no operand
+       transposes — fills all 128 lanes.  dval lives banded-transposed
+       (n_bands, c_, 128) in-kernel; the wrapper untransposes once in XLA.
+
+    Same adaptive band windowing + full-width fallback as v4
+    (bit-identical numerics on either path)."""
+    q_step = pl.program_id(1)
+    bq = idx_ref.shape[1]
+    p = pairs_per_level
+    g = g_ref[0]                                           # (BQ, c_)
+
+    @pl.when(q_step == 0)
+    def _():
+        dvalt_ref[0] = jnp.zeros_like(dvalt_ref[0])
+
+    off = 0
+    for j, nj in enumerate(level_sizes):
+        hi_n = nj // 128
+        kw = -(-bq * nj // n_pad) // 128 + _WINDOW_SLACK
+        if kw > hi_n // 2:       # dynamic bands cost more; see _bwd_kernel_v4
+            kw = hi_n
+        idx_j = idx_ref[0, :, j, :] - off                  # (BQ, P) local
+        w_j = w_ref[0, :, j, :]
+        hi = idx_j // 128
+        lo = idx_j - hi * 128
+        lo_match = (
+            lo[:, :, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (bq, p, 128), 2)
+        )
+        hi_b = hi[:, :, None]
+        band0 = off // 128
+
+        def _bands(tok_starts, band_idxs, hi_vals):
+            dwa = jnp.zeros((bq, p), jnp.float32)
+            for start, band, hval in zip(tok_starts, band_idxs, hi_vals):
+                sel = lo_match & (hi_b == hval)
+                w_band = jnp.sum(
+                    jnp.where(sel, w_j[:, :, None], 0.0), axis=1
+                )                                          # (BQ, 128)
+                dvalt_ref[0, pl.dslice(band, 1), :, :] += jax.lax.dot_general(
+                    g, w_band, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )[None]                                    # (1, c_, 128)
+                m = jax.lax.dot_general(
+                    g, val_ref[0, pl.dslice(start, 128), :],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                          # (BQ, 128)
+                dwa = dwa + jnp.sum(
+                    jnp.where(sel, m[:, None, :], 0.0), axis=2
+                )
+            return dwa
+
+        if hi_n <= kw:
+            dw_ref[0, :, j, :] = _bands(
+                [off + i * 128 for i in range(hi_n)],
+                [band0 + i for i in range(hi_n)],
+                list(range(hi_n)),
+            )
+            off += nj
+            continue
+
+        base = jnp.min(hi)
+        fits = (jnp.max(hi) - base) < kw
+        dw_ref[0, :, j, :] = jnp.zeros((bq, p), jnp.float32)
+
+        @pl.when(fits)
+        def _fast(base=base, off=off, band0=band0):
+            dw_ref[0, :, j, :] = _bands(
+                [off + (base + i) * 128 for i in range(kw)],
+                [band0 + base + i for i in range(kw)],
+                [base + i for i in range(kw)],
+            )
+
+        @pl.when(jnp.logical_not(fits))
+        def _full(off=off, band0=band0, hi_n=hi_n):
+            dw_ref[0, :, j, :] = _bands(
+                [off + i * 128 for i in range(hi_n)],
+                [band0 + i for i in range(hi_n)],
+                list(range(hi_n)),
+            )
+
+        off += nj
+
+
+def _bwd_kernel_v8(idx_ref, w_ref, val_ref, g_ref, dval_ref, dw_ref, *,
+                   level_sizes, pairs_per_level, n_pad, dval_t):
+    """v7's dense-score d_w with the masked lane-REDUCE replaced by a lane
+    GATHER: d_w[q,p] = M_band[q, lo[q,p]] when hi[q,p]==band, where
+    M_band = g @ val_band^T.  take_along_axis lowers to tpu.dynamic_gather
+    (same primitive as the criterion's row-stratified nearest kernel,
+    point_sample_kernel.py:314) — per band one (BQ, P) gather + a tiny mask
+    instead of v7's (BQ, P, 128) where+sum or v4/v6's 2048-row extraction
+    dot.  dval_t selects v7's transposed accumulation (full 128 output
+    lanes) vs v4's (128t, c_) orientation, so the two changes measure
+    independently."""
+    q_step = pl.program_id(1)
+    bq = idx_ref.shape[1]
+    p = pairs_per_level
+    g = g_ref[0]                                           # (BQ, c_)
+
+    @pl.when(q_step == 0)
+    def _():
+        dval_ref[0] = jnp.zeros_like(dval_ref[0])
+
+    off = 0
+    for j, nj in enumerate(level_sizes):
+        hi_n = nj // 128
+        kw = -(-bq * nj // n_pad) // 128 + _WINDOW_SLACK
+        if kw > hi_n // 2:
+            kw = hi_n
+        idx_j = idx_ref[0, :, j, :] - off                  # (BQ, P) local
+        w_j = w_ref[0, :, j, :]
+        hi = idx_j // 128
+        lo = idx_j - hi * 128
+        lo_match = (
+            lo[:, :, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (bq, p, 128), 2)
+        )
+        hi_b = hi[:, :, None]
+        band0 = off // 128
+        # Mosaic's dynamic_gather lowering needs indices shaped like the
+        # input (full 128 lanes); gathering 128 costs the same as P — it is
+        # one per-vreg op — so pad lo out and slice the first P lanes back.
+        lo_pad = jnp.pad(lo, ((0, 0), (0, 128 - p)))       # (BQ, 128)
+
+        def _bands(tok_starts, band_idxs, hi_vals):
+            dwa = jnp.zeros((bq, p), jnp.float32)
+            for start, band, hval in zip(tok_starts, band_idxs, hi_vals):
+                sel = lo_match & (hi_b == hval)
+                w_band = jnp.sum(
+                    jnp.where(sel, w_j[:, :, None], 0.0), axis=1
+                )                                          # (BQ, 128)
+                if dval_t:
+                    dval_ref[0, pl.dslice(band, 1), :, :] += (
+                        jax.lax.dot_general(
+                            g, w_band, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )[None]
+                    )                                      # (1, c_, 128)
+                else:
+                    dval_ref[0, pl.dslice(start, 128), :] += (
+                        jax.lax.dot_general(
+                            w_band, g, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    )                                      # (128, c_)
+                m = jax.lax.dot_general(
+                    g, val_ref[0, pl.dslice(start, 128), :],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                          # (BQ, 128)
+                got = jnp.take_along_axis(m, lo_pad, axis=1)[:, :p]
+                dwa = dwa + jnp.where(hi == hval, got, 0.0)
+            return dwa
+
+        if hi_n <= kw:
+            dw_ref[0, :, j, :] = _bands(
+                [off + i * 128 for i in range(hi_n)],
+                [band0 + i for i in range(hi_n)],
+                list(range(hi_n)),
+            )
+            off += nj
+            continue
+
+        base = jnp.min(hi)
+        fits = (jnp.max(hi) - base) < kw
+        dw_ref[0, :, j, :] = jnp.zeros((bq, p), jnp.float32)
+
+        @pl.when(fits)
+        def _fast(base=base, off=off, band0=band0):
+            dw_ref[0, :, j, :] = _bands(
+                [off + (base + i) * 128 for i in range(kw)],
+                [band0 + base + i for i in range(kw)],
+                [base + i for i in range(kw)],
+            )
+
+        @pl.when(jnp.logical_not(fits))
+        def _full(off=off, band0=band0, hi_n=hi_n):
+            dw_ref[0, :, j, :] = _bands(
+                [off + i * 128 for i in range(hi_n)],
+                [band0 + i for i in range(hi_n)],
+                list(range(hi_n)),
+            )
+
+        off += nj
+
+
 def _pad_to(x, mult, axis, value=0):
     pad = (-x.shape[axis]) % mult
     if pad == 0:
@@ -889,13 +1100,111 @@ def _bwd_kernel_by_version(version: int, level_sizes, pairs: int,
             pairs_per_level=pairs,
             window={4: 8, 5: 4, 6: None}[version], n_pad=n_pad,
         )
+    if version == 7:
+        return functools.partial(
+            _bwd_kernel_v7, level_sizes=tuple(level_sizes),
+            pairs_per_level=pairs, n_pad=n_pad,
+        )
+    if version in (8, 9):
+        return functools.partial(
+            _bwd_kernel_v8, level_sizes=tuple(level_sizes),
+            pairs_per_level=pairs, n_pad=n_pad, dval_t=(version == 8),
+        )
     return functools.partial(
         _bwd_kernel_v2, level_sizes=tuple(level_sizes), pairs_per_level=pairs,
         bf16_dots=(version == 3),
     )
 
 
-BWD_VERSION = 6
+# r3 backward campaign (bench_msdetrpc_bwd, batch-4 512x512 shapes, ms per
+# encoder layer = sum of the three level calls):
+#   v6 (windowed select+reduce + 2048-row extraction dot)   34.1
+#   v7 (dense-score d_w, masked lane-REDUCE extraction,
+#       transposed dval)                                    35.2  — the
+#       (BQ,P,128) where+sum costs more VPU than the extraction dot cost MXU
+#   v8 (dense-score d_w via lane GATHER, transposed dval)   23.0
+#   v9 (= v8 with v4's dval orientation)                    22.0  — DEFAULT
+# The win is replacing the per-band (BQ*P,128)x(128,c_) extraction dot with
+# M_band = g @ val_band^T (one 128-row dot) + a per-vreg tpu.dynamic_gather
+# (take_along_axis) at lo — same primitive as the criterion's
+# row-stratified nearest kernel.  Transposing the dval accumulation to fill
+# all 128 output lanes (v8 vs v9) measures slightly NEGATIVE — the
+# (c_,128) banded writes relayout worse than the narrow dot they fix.
+BWD_VERSION = 9
+
+
+def _run_bwd_kernel(idx, wr, val_f, g_f, level_sizes, pairs, n_pad,
+                    interpret=False, version=None):
+    """Shared pallas_call for the regrouped-layout backward kernels.
+    Returns (dval (bh, ntot, c_), dwr (bh, n_pad, L, P)).  v7 accumulates
+    dval banded-transposed in-kernel (see _bwd_kernel_v7) and untransposes
+    here in XLA."""
+    version = BWD_VERSION if version is None else version
+    bh = idx.shape[0]
+    ntot, c_ = val_f.shape[1:]
+    n_levels = len(level_sizes)
+    nqb = n_pad // BLOCK_Q
+    kernel = _bwd_kernel_by_version(version, level_sizes, pairs, n_pad)
+    in_specs = [
+        pl.BlockSpec((1, BLOCK_Q, n_levels, pairs), lambda b, q: (b, q, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BLOCK_Q, n_levels, pairs), lambda b, q: (b, q, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ntot, c_), lambda b, q: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BLOCK_Q, c_), lambda b, q: (b, q, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    dw_spec = pl.BlockSpec((1, BLOCK_Q, n_levels, pairs),
+                           lambda b, q: (b, q, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dw_shape = jax.ShapeDtypeStruct((bh, n_pad, n_levels, pairs), jnp.float32)
+    cost = pl.CostEstimate(
+        flops=2 * bh * nqb * BLOCK_Q * ntot * (2 * pairs + 2 * c_),
+        bytes_accessed=bh * (2 * ntot * c_ * 4
+                             + n_pad * (n_levels * pairs * 3 + c_) * 4),
+        transcendentals=0,
+    )
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    if version in (7, 8):
+        n_bands = ntot // 128
+        dvalt, dwr = pl.pallas_call(
+            kernel,
+            grid=(bh, nqb),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, n_bands, c_, 128), lambda b, q: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                dw_spec,
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, n_bands, c_, 128), jnp.float32),
+                dw_shape,
+            ],
+            compiler_params=params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(idx, wr, val_f, g_f)
+        dval = dvalt.transpose(0, 1, 3, 2).reshape(bh, ntot, c_)
+        return dval, dwr
+    dval, dwr = pl.pallas_call(
+        kernel,
+        grid=(bh, nqb),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, ntot, c_), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            dw_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, ntot, c_), jnp.float32),
+            dw_shape,
+        ],
+        compiler_params=params,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(idx, wr, val_f, g_f)
+    return dval, dwr
 
 
 def msdetrpc_pallas_bwd_impl(nn_idx, nn_weight, attn, val, g,
@@ -915,43 +1224,8 @@ def msdetrpc_pallas_bwd_impl(nn_idx, nn_weight, attn, val, g,
     val_f = val.astype(jnp.float32)
     g_f = _pad_to(g.astype(jnp.float32), BLOCK_Q, 1, value=0.0)
 
-    kernel = _bwd_kernel_by_version(
-        BWD_VERSION if version is None else version, level_sizes, pairs, n_pad
-    )
-    dval, dwr = pl.pallas_call(
-        kernel,
-        grid=(bh, nqb),
-        in_specs=[
-            pl.BlockSpec((1, BLOCK_Q, n_levels, pairs), lambda b, q: (b, q, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q, n_levels, pairs), lambda b, q: (b, q, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ntot, c_), lambda b, q: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q, c_), lambda b, q: (b, q, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, ntot, c_), lambda b, q: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q, n_levels, pairs), lambda b, q: (b, q, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, ntot, c_), jnp.float32),
-            jax.ShapeDtypeStruct((bh, n_pad, n_levels, pairs), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * bh * nqb * BLOCK_Q * ntot * (2 * pairs + 2 * c_),
-            bytes_accessed=bh * (2 * ntot * c_ * 4
-                                 + n_pad * (n_levels * pairs * 3 + c_) * 4),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(idx, wr, val_f, g_f)
+    dval, dwr = _run_bwd_kernel(idx, wr, val_f, g_f, level_sizes, pairs,
+                                n_pad, interpret=interpret, version=version)
 
     # un-regroup the folded-weight gradient back to (bh, n, m, kk)
     d_wfold = dwr[:, :n].reshape(bh, n, n_levels, kpts, kk)
@@ -1188,11 +1462,92 @@ def _kernel_v9(*args, level_sizes, pairs_per_level, n_pad):
     out_ref[0] = acc_ref[...]
 
 
-FWD_VERSION = 8   # v9 (windowed, like the backward) measured net-negative on
-# the real model: at the measured spread (+8 bands slack) the forward's
-# dynamic-slice bands cost back what the skipping saves (18.49 vs 18.76 im/s
-# end to end); the backward wins because its per-band work is ~3 dots + the
-# select/reduce VPU build, all skipped per band, vs the forward's single dot
+def _kernel_v13(*args, level_sizes, pairs_per_level, n_pad):
+    """No-MXU forward: per-(band, pair) lane GATHERS from a transposed
+    value table (the backward-v9 insight applied to the forward).
+
+        out^T[ch, q] = sum_p w[q,p] * valT_band[ch, lo[q,p]]   when hi==band
+
+    Everything arrives pre-transposed from XLA so no in-kernel relayouts:
+    idx/w per level as (P, BQ) with queries on LANES, val banded-transposed
+    (n_bands, c_, 128) with tokens on lanes, out written (c_, BQ) and
+    untransposed once outside.  Per (band, pair): one (1,BQ) where, one
+    (c_,128) tpu.dynamic_gather (take_along_axis — per-vreg, same primitive
+    as _bwd_kernel_v8), one fma into a register accumulator.  Exact fp32
+    (no bf16 MXU passes), and band-windowed like v9 with the full-width
+    fallback (bit-identical on either path)."""
+    n_levels = len(level_sizes)
+    idx_refs = args[:n_levels]                             # (1, P, BQ)
+    w_refs = args[n_levels : 2 * n_levels]
+    val_ref = args[2 * n_levels]                           # (1, nb, c_, 128)
+    out_ref = args[2 * n_levels + 1]                       # (1, c_, BQ)
+    acc_ref = args[2 * n_levels + 2]                       # scratch (c_, BQ)
+    c_ = out_ref.shape[1]
+    bq = out_ref.shape[2]
+    p = pairs_per_level
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    off = 0
+    for j, nj in enumerate(level_sizes):
+        hi_n = nj // 128
+        kw = -(-bq * nj // n_pad) // 128 + _WINDOW_SLACK
+        if kw > hi_n // 2:       # see _bwd_kernel_v4: dynamic bands cost more
+            kw = hi_n
+        idx_j = idx_refs[j][0]                             # (P, BQ) local
+        w_j = w_refs[j][0]
+        hi = idx_j // 128
+        lo = idx_j - hi * 128
+        band0 = off // 128
+
+        def _bands(band_idxs, hi_vals, hi=hi, lo=lo, w_j=w_j, band0=band0):
+            acc = jnp.zeros((c_, bq), jnp.float32)
+            for band, hval in zip(band_idxs, hi_vals):
+                vt = val_ref[0, pl.dslice(band0 + band, 1)][0]  # (c_, 128)
+                for p_i in range(p):
+                    wsel = jnp.where(
+                        hi[p_i : p_i + 1, :] == hval,
+                        w_j[p_i : p_i + 1, :], 0.0,
+                    )                                      # (1, BQ)
+                    g = jnp.take_along_axis(
+                        vt,
+                        jnp.broadcast_to(lo[p_i : p_i + 1, :], (c_, bq)),
+                        axis=1,
+                    )                                      # (c_, BQ)
+                    acc = acc + g * wsel
+            acc_ref[...] += acc
+
+        if hi_n <= kw:
+            _bands(list(range(hi_n)), list(range(hi_n)))
+            off += nj
+            continue
+
+        base = jnp.min(hi)
+        fits = (jnp.max(hi) - base) < kw
+
+        @pl.when(fits)
+        def _fast(base=base, _bands=_bands):
+            _bands([base + i for i in range(kw)],
+                   [base + i for i in range(kw)])
+
+        @pl.when(jnp.logical_not(fits))
+        def _full(hi_n=hi_n, _bands=_bands):
+            _bands(list(range(hi_n)), list(range(hi_n)))
+
+        off += nj
+    out_ref[0] = acc_ref[...]
+
+
+# r3 forward campaign (bench_msdetrpc_bwd-style methodology; BENCH_LEVELS=1
+# BENCH_LOCAL=1 tools/bench_msdetrpc.py, batch-4 512x512 shapes, ms per
+# encoder layer = sum of the three level calls):
+#   v8  (one-hot x MXU W build + band dots)                 14.00
+#   v9  (windowed, masked select+reduce W build)            ~14    — at the
+#       measured spread (+8 bands slack) the dynamic-slice bands cost back
+#       what the skipping saves (18.49 vs 18.76 im/s end to end)
+#   v13 (windowed lane-GATHER, no MXU at all)                7.31  — DEFAULT
+# v13 is also EXACT fp32 (v8's dots run at bf16 MXU precision), so the
+# Pallas/XLA parity gap on the inference path shrinks with the speedup.
+FWD_VERSION = 13
 
 
 def msdetrpc_pallas_levels_impl(idxs, ws, val, level_sizes: Tuple[int, ...],
@@ -1228,6 +1583,35 @@ def msdetrpc_pallas_levels_impl(idxs, ws, val, level_sizes: Tuple[int, ...],
             _kernel_v10, level_sizes=tuple(level_sizes), pairs_per_level=pairs,
         )
         scratch = []
+    elif version == 13:
+        # lane-gather forward: everything pre-transposed in XLA (queries on
+        # lanes, value table banded-transposed); see _kernel_v13
+        idx_t = [i.transpose(0, 2, 1) for i in idx_p]      # (bh, P, n_pad)
+        w_t = [w.transpose(0, 2, 1) for w in w_p]
+        n_bands = ntot // 128
+        val_t = val_f.reshape(bh, n_bands, 128, c_).transpose(0, 1, 3, 2)
+        lvl_spec = pl.BlockSpec((1, pairs, BLOCK_Q), lambda b, q: (b, 0, q),
+                                memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(
+                _kernel_v13, level_sizes=tuple(level_sizes),
+                pairs_per_level=pairs, n_pad=n_pad,
+            ),
+            grid=(bh, nqb),
+            in_specs=[lvl_spec] * (2 * n_levels) + [
+                pl.BlockSpec((1, n_bands, c_, 128), lambda b, q: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, c_, BLOCK_Q), lambda b, q: (b, 0, q),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bh, c_, n_pad), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((c_, BLOCK_Q), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(*idx_t, *w_t, val_t)
+        return out.transpose(0, 2, 1)[:, :n]
     elif version == 11:
         kernel = functools.partial(
             _kernel_v11, level_sizes=tuple(level_sizes), pairs_per_level=pairs,
@@ -1322,33 +1706,8 @@ def _bwd_levels(level_sizes, res, g):
     val_f = val.astype(jnp.float32)
     g_f = _pad_to(g.astype(jnp.float32), BLOCK_Q, 1, value=0.0)
 
-    dval, dwr = pl.pallas_call(
-        _bwd_kernel_by_version(BWD_VERSION, level_sizes, pairs, n_pad),
-        grid=(bh, nqb),
-        in_specs=[
-            pl.BlockSpec((1, BLOCK_Q, n_levels, pairs), lambda b, q: (b, q, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q, n_levels, pairs), lambda b, q: (b, q, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ntot, c_), lambda b, q: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q, c_), lambda b, q: (b, q, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, ntot, c_), lambda b, q: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q, n_levels, pairs), lambda b, q: (b, q, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, ntot, c_), jnp.float32),
-            jax.ShapeDtypeStruct((bh, n_pad, n_levels, pairs), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-    )(idx, wr, val_f, g_f)
+    dval, dwr = _run_bwd_kernel(idx, wr, val_f, g_f, level_sizes, pairs,
+                                n_pad)
 
     d_ws = tuple(
         dwr[:, :n, j].astype(ws[j].dtype) for j in range(n_levels)
