@@ -1547,6 +1547,15 @@ def _kernel_v13(*args, level_sizes, pairs_per_level, n_pad):
 #   v13 (windowed lane-GATHER, no MXU at all)                7.31  — DEFAULT
 # v13 is also EXACT fp32 (v8's dots run at bf16 MXU precision), so the
 # Pallas/XLA parity gap on the inference path shrinks with the speedup.
+#
+# _WINDOW_SLACK sweep (measured dead end): the microbench (jitter +-64
+# ranks) says slack 2/4 cut v13 to 4.33/5.54 ms/layer, but END TO END the
+# real model REGRESSES (27.39 -> 23.89 im/s at slack 2): real 128-query
+# blocks span more hi-bands than the synthetic jitter models (SFC rank
+# spread of a deformed 2-D neighborhood), so tight windows trip the exact
+# full-width fallback often enough to lose more than the window saves.
+# Slack 8 stands; don't re-tighten without measuring the fallback rate on
+# the real model first.
 FWD_VERSION = 13
 
 

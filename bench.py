@@ -182,24 +182,32 @@ def _bench_train_step(cfg, batch, iters, warmup, size=512):
 # row-gather composition ~9x in context (952 -> ~110 ms since r2).
 PROFILE_R03 = {
     "config": "AFF-Mini 512x512 batch4 bf16, ms per forward",
-    "full_model": 214.6,
-    "backbone": 42.9,
-    "pixel_decoder": 153.9,
-    "transformer_decoder": 17.8,
-    "pixel_decoder_breakdown": {
-        "msdetrpc_kernel": 110.0,
-        "msdetrpc_kernel_isolated_per_layer": 13.9,
-        "packed_table_gathers": 29.0,
-        "grid_4nn_knn": 7.6,
-        "shepard_weights": 1.3,
-        "dense_proj_ffn_residual": 8.8,
+    "backbone_plus_pixel_decoder": 128.0,
+    "pixel_decoder_breakdown_post_v13": {
+        "msdetrpc_in_context": 76.3,
+        "msdetrpc_kernel_isolated_per_layer": 7.31,
+        "msdetrpc_xla_glue_note": (
+            "76.3 in-context - 44 isolated (6 layers) = ~32 ms of operand "
+            "prep: attn folding, casts, and the v13 (bh,n,P)->(bh,P,n) / "
+            "val banding minor-dim transposes"
+        ),
+        "packed_table_gathers": 29.4,
+        "grid_4nn_knn": 7.9,
+        "shepard_weights": 1.7,
+        "dense_backbone_residual": 51.7,
     },
-    "kernel_floor_note": (
-        "8 kernel variants tie at ~10.4ms/4096-level call; per-program cost "
-        "is the 128-unrolled batched W build + 42 band dots (~10us); band "
-        "dots use 32/128 output lanes (c_=32) so peak-MFU is bounded at "
-        "~25% for this shape before issue overheads"
-    ),
+    "pre_v13_breakdown": {
+        "full_model": 214.6,
+        "backbone": 42.9,
+        "pixel_decoder": 153.9,
+        "transformer_decoder": 17.8,
+        "msdetrpc_kernel": 110.0,
+        "note": (
+            "one-hot x MXU kernel era (FWD v8); v13 windowed lane-gather "
+            "halved the kernel (14.0 -> 7.31 ms/layer) and lifted AFF-Mini "
+            "18.86 -> 27.39 im/s"
+        ),
+    },
 }
 
 
