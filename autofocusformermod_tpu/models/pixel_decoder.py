@@ -17,7 +17,7 @@ pipelines; sampled locations then just do cheap gathers into the table
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +38,59 @@ ABLATE_MSDETRPC = False
 ABLATE_PACK = False
 ABLATE_KNN = False
 ABLATE_SHEPARD = False
+
+# Channel-major fused sampling prep (r3): run the offsets/attention
+# projections, packed-table lookup, and Shepard weighting with queries on the
+# MINOR axis so the sampling kernel consumes its operands natively (no XLA
+# relayouts) and the table lookup becomes a windowed lane-gather over
+# Morton-ordered tables instead of an XLA row gather.
+#
+# MEASURED DEAD END (r3), kept off: end-to-end it regressed AFF-Mini 512x512
+# batch-4 inference 27.4 -> 4.0 im/s.  Root cause isolated with
+# tools/bench_fused_gather.py on real-model index statistics (128-sample
+# tiles covering ~31x31 cells of the 128x128 grid, Morton-ranked): the
+# per-tile Morton rank spread is too wide for a narrow window — fit rate is
+# 6% at k_sub=16 (7.47 ms) and even at k_sub=64 (91% fit) the windowed
+# gather only ties XLA's row gather (3.17 vs 3.02 ms / 524288 rows), because
+# its cost is linear in the window width: 64 band-reads+selects per tile vs
+# the full-table sweep's 128.  Locality buys at most 2x over the fallback,
+# and the fallback is ~2.5x WORSE than take_rows — so the whole lane-gather
+# framing loses unless spread fits in <=8 bands, which deformable offsets
+# never satisfy.  The relayout savings the path also buys (~0.6 ms/level)
+# cannot pay for that.  Correctness of the path is pinned by
+# tests/test_fused_prep.py so the experiment stays reproducible.
+USE_FUSED_PREP = False
+
+
+class DualLayoutDense(nn.Module):
+    """nn.Dense-compatible projection (same param names, shapes, init) that
+    can emit its output CHANNEL-MAJOR: ``transposed=True`` computes
+    (b, features, n) from (b, n, c) as one dot_general — the (features, b, n)
+    -> (b, features, n) fixup moves only MAJOR dims (n stays minor), a free
+    tile remap on TPU, whereas transposing a row-major Dense output is a
+    measured ~0.5-1 ms minor-dim relayout per level."""
+
+    features: int
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x, transposed: bool = False):
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features))
+        bias = self.param("bias", self.bias_init, (self.features,))
+        dtype = jnp.result_type(x.dtype, kernel.dtype, bias.dtype)
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+        bias = bias.astype(dtype)
+        if not transposed:
+            return jax.lax.dot_general(
+                x, kernel, (((x.ndim - 1,), (0,)), ((), ()))
+            ) + bias
+        y = jax.lax.dot_general(
+            kernel, x, (((0,), (2,)), ((), ()))
+        )                                                   # (features, b, n)
+        return y.transpose(1, 0, 2) + bias[None, :, None]
 
 # Measured dead end (r3): head-natural kernel layout — see MSDeformAttnPc.
 USE_BH_LAYOUT = False
@@ -293,11 +346,14 @@ class MSDeformAttnPc(nn.Module):
         return jnp.asarray(grid.reshape(-1), dtype)
 
     @nn.compact
-    def __call__(self, querys, poss, values, spatial_shapes, nb_packed):
+    def __call__(self, querys, poss, values, spatial_shapes, nb_packed,
+                 nb_packed_t=None):
         """
         querys/values - lists of (b, n_l, c); poss - list of (b, n_l, 2)
         spatial_shapes - list of (h, w) per level + finest grid last (static)
         nb_packed - list of (b, grid_h*grid_w, 12) packed per-cell tables
+        nb_packed_t - optional Morton-ordered CHANNEL-MAJOR tables
+            (b, 12, grid_h*grid_w) enabling the fused prep path
         """
         b, _, c = querys[0].shape
         h, l, k = self.n_heads, self.n_levels, self.n_points
@@ -315,11 +371,11 @@ class MSDeformAttnPc(nn.Module):
         values_cat = value_proj(jnp.concatenate(values, axis=1))  # (b, ntot, c)
         ntot = values_cat.shape[1]
 
-        offsets_net = nn.Dense(
+        offsets_net = DualLayoutDense(
             h * l * k * 2, name="sampling_offsets",
             kernel_init=nn.initializers.zeros, bias_init=self._offset_init,
         )
-        attn_net = nn.Dense(
+        attn_net = DualLayoutDense(
             h * l * k, name="attention_weights",
             kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
         )
@@ -352,9 +408,24 @@ class MSDeformAttnPc(nn.Module):
             values_cat.reshape(b, ntot, h, c_).transpose(0, 2, 1, 3).reshape(b * h, ntot, c_)
         )
 
+        ncells = int(grid_hw[0]) * int(grid_hw[1])
+        fused_levels_ok = (
+            nb_packed_t is not None
+            and sum(level_sizes) == ntot
+            and all(nj % 128 == 0 for nj in level_sizes)
+        )
         outputs = []
         for i in range(l):
             n_i = level_sizes[i]
+            # fused channel-major prep pays when the per-128-query Morton
+            # window is narrow (fine query levels); coarse levels would trip
+            # the gather's full-table fallback, so they keep the legacy path
+            if fused_levels_ok and n_i % 128 == 0 and n_i * 8 >= ncells:
+                outputs.append(self._level_fused_t(
+                    i, querys, poss, values_all, spatial_shapes, nb_packed_t,
+                    offsets_net, attn_net, out_proj, power, level_sizes,
+                ))
+                continue
             offs = offsets_net(querys[i]).reshape(b, n_i, h, l, k, 2)
             attn = jax.nn.softmax(
                 attn_net(querys[i]).reshape(b, n_i, h, l * k), axis=-1
@@ -405,6 +476,109 @@ class MSDeformAttnPc(nn.Module):
             sampled = sampled.reshape(b, h, n_i, c_).transpose(0, 2, 1, 3).reshape(b, n_i, c)
             outputs.append(out_proj(sampled))
         return outputs
+
+    def _level_fused_t(self, i, querys, poss, values_all, spatial_shapes,
+                       nb_packed_t, offsets_net, attn_net, out_proj, power,
+                       level_sizes):
+        """Channel-major fused sampling prep for one query level (TPU).
+
+        Everything from the offset/attention projections to the sampling
+        kernel runs with queries on the MINOR axis: DualLayoutDense emits
+        (b, F, n) directly, the packed-table lookup is a windowed lane-gather
+        over MORTON-ordered tables (ops/pallas/window_gather.py +
+        geometry/morton.py) instead of an XLA row gather (ref
+        msdeformattn_pc.py:186-194), and the sampling kernel consumes the
+        (bh, pairs, n) operands natively (msdetrpc_pallas_levels_t) — no
+        (bh, n, P) -> (bh, P, n) relayouts (~0.6 ms each at n=4096).
+
+        Same math as the legacy loop below (gathers exact; Shepard identical);
+        geometry is stop_gradient — positions are integer-selected constants
+        (models/aff.py:240,265), so the legacy take_rows VJP also carries no
+        parameter gradient through the tables."""
+        from ..geometry.morton import morton_rank
+        from ..ops.pallas.msdetrpc_kernel import msdetrpc_pallas_levels_t
+        from ..ops.pallas.window_gather import windowed_row_gather
+
+        b = querys[i].shape[0]
+        h, l, k = self.n_heads, self.n_levels, self.n_points
+        c = self.d_model
+        c_ = c // h
+        n_i = level_sizes[i]
+        grid_hw = spatial_shapes[-1]
+        gh, gw = int(grid_hw[0]), int(grid_hw[1])
+        log2w = gw.bit_length() - 1
+        log2h = gh.bit_length() - 1
+        dt = values_all.dtype
+
+        offsT = offsets_net(querys[i], transposed=True)      # (b, hlk2, n)
+        attnT = attn_net(querys[i], transposed=True)         # (b, hlk, n)
+        attnT = jax.nn.softmax(
+            attnT.reshape(b, h, l * k, n_i), axis=2
+        ).reshape(b, h, l, k, n_i)
+        offsT = offsT.reshape(b, h, l, k, 2, n_i)
+        s_posT = poss[i].transpose(0, 2, 1)                  # (b, 2, n_i)
+
+        idx_ts, w_ts = [], []
+        for j in range(l):
+            # scale_pos(poss[i], shapes[i] -> shapes[j]) channel-major,
+            # including its equal-shape identity shortcut
+            if tuple(spatial_shapes[i]) == tuple(spatial_shapes[j]):
+                sp = s_posT
+            else:
+                r = jnp.asarray(
+                    [spatial_shapes[j][1] / spatial_shapes[i][1],
+                     spatial_shapes[j][0] / spatial_shapes[i][0]],
+                    s_posT.dtype,
+                )[None, :, None]
+                sp = (s_posT + 0.5) * r - 0.5
+            locT = sp[:, None, None] + offsT[:, :, j]        # (b, h, k, 2, n)
+
+            # snap to the finest grid (scale_pos j -> grid, round, clip)
+            if (int(spatial_shapes[j][0]), int(spatial_shapes[j][1])) == (gh, gw):
+                sl = locT
+            else:
+                rg = jnp.asarray(
+                    [gw / spatial_shapes[j][1], gh / spatial_shapes[j][0]],
+                    locT.dtype,
+                )[None, None, None, :, None]
+                sl = (locT + 0.5) * rg - 0.5
+            sl = jnp.round(sl).astype(jnp.int32)
+            gx = jnp.clip(sl[:, :, :, 0], 0, gw - 1)         # (b, h, k, n)
+            gy = jnp.clip(sl[:, :, :, 1], 0, gh - 1)
+            rank = morton_rank(gx, gy, log2w, log2h)
+            packed = windowed_row_gather(
+                nb_packed_t[j], rank.reshape(b, h * k * n_i), k_sub=16,
+            )                                                # (b, 12, hkn)
+            packed = jax.lax.stop_gradient(packed)
+            packed = (packed.reshape(b, 12, h, k, n_i)
+                      .transpose(0, 2, 1, 3, 4)              # major-dim swap
+                      .reshape(b * h, 12, k, n_i))
+            nbi = packed[:, 0:4]
+            nbx = packed[:, 4:8]
+            nby = packed[:, 8:12]                            # (bh, 4, k, n)
+            lx = locT[:, :, :, 0].reshape(b * h, 1, k, n_i)
+            ly = locT[:, :, :, 1].reshape(b * h, 1, k, n_i)
+            d2 = (lx - nbx) ** 2 + (ly - nby) ** 2
+            # shepard_decay_weights, normalized over the 4-NN axis (axis=1)
+            dist = jnp.maximum(d2, 1e-2)
+            ipd = 1.0 / (dist ** power + 1e-6)
+            w = ipd / (jnp.sum(ipd, axis=1, keepdims=True) + 1e-6)
+            w = w * attnT[:, :, j].reshape(b * h, 1, k, n_i).astype(w.dtype)
+            idx_ts.append(
+                nbi.astype(jnp.int32).transpose(0, 2, 1, 3)
+                .reshape(b * h, k * 4, n_i)
+            )
+            w_ts.append(
+                w.astype(jnp.float32).transpose(0, 2, 1, 3)
+                .reshape(b * h, k * 4, n_i)
+            )
+        sampled = msdetrpc_pallas_levels_t(
+            tuple(idx_ts), tuple(w_ts), values_all.astype(jnp.float32),
+            tuple(level_sizes),
+        ).astype(dt)                                         # (bh, n, c_)
+        sampled = (sampled.reshape(b, h, n_i, c_)
+                   .transpose(0, 2, 1, 3).reshape(b, n_i, c))
+        return out_proj(sampled)
 
     def _forward_bh(self, querys, poss, values_cat, spatial_shapes,
                     nb_packed, offsets_net, attn_net, out_proj, power,
@@ -489,12 +663,12 @@ class MSDeformAttnEncoderLayerPc(nn.Module):
 
     @nn.compact
     def __call__(self, srcs, poss, spatial_shapes, pos_embeds, nb_packed,
-                 deterministic: bool = True):
+                 deterministic: bool = True, nb_packed_t=None):
         with_pe = [s + p for s, p in zip(srcs, pos_embeds)]
         src2s = MSDeformAttnPc(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
             self.shepard_power, self.shepard_power_learnable, name="self_attn",
-        )(with_pe, poss, srcs, spatial_shapes, nb_packed)
+        )(with_pe, poss, srcs, spatial_shapes, nb_packed, nb_packed_t)
 
         norm1 = nn.LayerNorm(name="norm1")
         norm2 = nn.LayerNorm(name="norm2")
@@ -585,6 +759,22 @@ class MSDeformAttnPixelDecoder(nn.Module):
         lvl_shapes = list(spatial_shapes)
         spatial_shapes = list(spatial_shapes) + [grid_hw]
 
+        # Morton-ordered channel-major tables for the fused prep path (one
+        # static row permutation + one small transpose per forward, shared
+        # by all encoder layers); legacy row-major tables stay alongside for
+        # the coarse query levels / non-TPU / ablation paths.
+        from ..geometry.morton import is_pow2, morton_perm
+        from ..ops.dispatch import fused_attention_available
+
+        nb_idx_t = None
+        gh, gw = int(grid_hw[0]), int(grid_hw[1])
+        if (USE_FUSED_PREP and fused_attention_available()
+                and is_pow2(gh) and is_pow2(gw) and (gh * gw) % 128 == 0
+                and not (ABLATE_MSDETRPC or ABLATE_PACK or ABLATE_KNN
+                         or ABLATE_SHEPARD)):
+            perm = jnp.asarray(morton_perm(gh, gw))
+            nb_idx_t = [t[:, perm, :].transpose(0, 2, 1) for t in nb_idx]
+
         out = srcs
         for li in range(self.transformer_enc_layers):
             out = MSDeformAttnEncoderLayerPc(
@@ -597,7 +787,8 @@ class MSDeformAttnPixelDecoder(nn.Module):
                 shepard_power=self.shepard_power,
                 shepard_power_learnable=self.shepard_power_learnable,
                 name=f"encoder_layer_{li}",
-            )(out, poss, spatial_shapes, lvl_pos, nb_idx, deterministic)
+            )(out, poss, spatial_shapes, lvl_pos, nb_idx, deterministic,
+              nb_idx_t)
         transformer_out = out[0]
 
         # extra FPN levels (just res2 for the standard config)

@@ -1559,6 +1559,41 @@ def _kernel_v13(*args, level_sizes, pairs_per_level, n_pad):
 FWD_VERSION = 13
 
 
+def _run_fwd_v13(idx_t, w_t, val_f, level_sizes, pairs, n_pad,
+                 interpret=False):
+    """Shared pallas_call for the v13 lane-gather forward.  idx_t/w_t:
+    per-level (bh, pairs, n_pad) with queries MINOR; val_f: (bh, ntot, c_)
+    fp32.  Returns (bh, c_, n_pad) — callers untranspose (or consume
+    channel-major directly)."""
+    bh = idx_t[0].shape[0]
+    ntot, c_ = val_f.shape[1:]
+    n_levels = len(level_sizes)
+    nqb = n_pad // BLOCK_Q
+    n_bands = ntot // 128
+    val_t = val_f.reshape(bh, n_bands, 128, c_).transpose(0, 1, 3, 2)
+    lvl_spec = pl.BlockSpec((1, pairs, BLOCK_Q), lambda b, q: (b, 0, q),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_v13, level_sizes=tuple(level_sizes),
+            pairs_per_level=pairs, n_pad=n_pad,
+        ),
+        grid=(bh, nqb),
+        in_specs=[lvl_spec] * (2 * n_levels) + [
+            pl.BlockSpec((1, n_bands, c_, 128), lambda b, q: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c_, BLOCK_Q), lambda b, q: (b, 0, q),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, c_, n_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((c_, BLOCK_Q), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*idx_t, *w_t, val_t)
+
+
 def msdetrpc_pallas_levels_impl(idxs, ws, val, level_sizes: Tuple[int, ...],
                                 interpret: bool = False,
                                 version: int | None = None):
@@ -1597,29 +1632,8 @@ def msdetrpc_pallas_levels_impl(idxs, ws, val, level_sizes: Tuple[int, ...],
         # lanes, value table banded-transposed); see _kernel_v13
         idx_t = [i.transpose(0, 2, 1) for i in idx_p]      # (bh, P, n_pad)
         w_t = [w.transpose(0, 2, 1) for w in w_p]
-        n_bands = ntot // 128
-        val_t = val_f.reshape(bh, n_bands, 128, c_).transpose(0, 1, 3, 2)
-        lvl_spec = pl.BlockSpec((1, pairs, BLOCK_Q), lambda b, q: (b, 0, q),
-                                memory_space=pltpu.VMEM)
-        out = pl.pallas_call(
-            functools.partial(
-                _kernel_v13, level_sizes=tuple(level_sizes),
-                pairs_per_level=pairs, n_pad=n_pad,
-            ),
-            grid=(bh, nqb),
-            in_specs=[lvl_spec] * (2 * n_levels) + [
-                pl.BlockSpec((1, n_bands, c_, 128), lambda b, q: (b, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, c_, BLOCK_Q), lambda b, q: (b, 0, q),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((bh, c_, n_pad), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((c_, BLOCK_Q), jnp.float32)],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
-            ),
-            interpret=interpret,
-        )(*idx_t, *w_t, val_t)
+        out = _run_fwd_v13(idx_t, w_t, val_f, level_sizes, pairs, n_pad,
+                           interpret)
         return out.transpose(0, 2, 1)[:, :n]
     elif version == 11:
         kernel = functools.partial(
@@ -1726,6 +1740,56 @@ def _bwd_levels(level_sizes, res, g):
 
 
 msdetrpc_pallas_levels.defvjp(_fwd_levels, _bwd_levels)
+
+
+def msdetrpc_pallas_levels_t_impl(idx_ts, w_ts, val,
+                                  level_sizes: Tuple[int, ...],
+                                  interpret: bool = False):
+    """Pre-transposed per-level forward: idx_ts/w_ts are (bh, pairs, n) with
+    queries on the MINOR axis — exactly the layout _kernel_v13 consumes, so
+    producers that build their operands channel-major (the pixel decoder's
+    fused prep path) skip the (bh, n, P) -> (bh, P, n) wrapper relayouts that
+    cost ~0.6 ms each at the 4096-query level.  Returns (bh, n, c_)."""
+    bh, pairs, n = idx_ts[0].shape
+    idx_t = [_pad_to(i.astype(jnp.int32), BLOCK_Q, 2) for i in idx_ts]
+    w_t = [_pad_to(w.astype(jnp.float32), BLOCK_Q, 2) for w in w_ts]
+    n_pad = idx_t[0].shape[2]
+    out = _run_fwd_v13(idx_t, w_t, val.astype(jnp.float32),
+                       level_sizes, pairs, n_pad, interpret)
+    return out.transpose(0, 2, 1)[:, :n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def msdetrpc_pallas_levels_t(idx_ts, w_ts, val, level_sizes):
+    """Pre-transposed-layout variant of msdetrpc_pallas_levels.
+
+    idx_ts: tuple of (bh, pairs, n) int32 level-LOCAL indices, queries minor
+    w_ts:   tuple of (bh, pairs, n) f32 shepard*attention weights
+    val:    (bh, ntot, c_); level_sizes partitions its token axis."""
+    return msdetrpc_pallas_levels_t_impl(idx_ts, w_ts, val, level_sizes)
+
+
+def _fwd_levels_t(idx_ts, w_ts, val, level_sizes):
+    return msdetrpc_pallas_levels_t_impl(idx_ts, w_ts, val, level_sizes), (
+        idx_ts, w_ts, val,
+    )
+
+
+def _bwd_levels_t(level_sizes, res, g):
+    """Training-only: untranspose to the regrouped layout and reuse the
+    lane-gather backward kernel (_run_bwd_kernel)."""
+    idx_ts, w_ts, val = res
+    d_idxs, d_ws, d_val = _bwd_levels(
+        level_sizes,
+        (tuple(i.transpose(0, 2, 1) for i in idx_ts),
+         tuple(w.transpose(0, 2, 1) for w in w_ts), val),
+        g,
+    )
+    return (tuple(di.transpose(0, 2, 1) for di in d_idxs),
+            tuple(dw.transpose(0, 2, 1) for dw in d_ws), d_val)
+
+
+msdetrpc_pallas_levels_t.defvjp(_fwd_levels_t, _bwd_levels_t)
 
 
 # ---------------------------------------------------------------------------

@@ -12,9 +12,13 @@ dynamic base and select-combines, with an exact full-table `fori_loop`
 fallback for tiles whose spread exceeds the window (locality buys speed,
 never correctness).
 
-Used for the deformable-attention neighbor-table lookup
+Built for the deformable-attention neighbor-table lookup
 (models/pixel_decoder.py nb_packed gather, reference msdeformattn_pc.py:
-186-194), which was ~50 ms of the 512x512 batch-4 forward as an XLA gather.
+186-194).  MEASURED DEAD END for that use (kept for the record, default off
+via pixel_decoder.USE_FUSED_PREP): real sampling indices spread too wide per
+128-sample tile (6% window fit at k_sub=16), and the kernel's cost is linear
+in the window width, so it never beats XLA's row gather — see the numbers in
+models/pixel_decoder.py and tools/bench_fused_gather.py.
 
 Layout contract: the table is CHANNEL-MAJOR (b, C, N) so gathers run along
 lanes; the result is (b, C, S).  C <= 32, N and S padded to multiples of 128
@@ -34,17 +38,17 @@ TILE_S = 2048        # samples per program
 K_SUB = 16           # fast-path window: K_SUB * 128 table rows
 
 
-def _kernel(idx_ref, table_ref, out_ref, *, n_rows):
+def _kernel(idx_ref, table_ref, out_ref, *, n_rows, k_sub, tile_s):
     c = table_ref.shape[1]
     n_sub = n_rows // 128
 
-    for t in range(TILE_S // 128):
+    for t in range(tile_s // 128):
         cell = idx_ref[0, t, :]                               # (128,) int32
         cmin = jnp.min(cell)
         cmax = jnp.max(cell)
-        base_sw = jnp.minimum(cmin // 128, n_sub - K_SUB)
+        base_sw = jnp.minimum(cmin // 128, n_sub - k_sub)
         base_sw = jnp.maximum(base_sw, 0)
-        fits = (cmax // 128 - base_sw) < K_SUB
+        fits = (cmax // 128 - base_sw) < k_sub
 
         local = cell - base_sw * 128
         sub = local // 128
@@ -53,7 +57,7 @@ def _kernel(idx_ref, table_ref, out_ref, *, n_rows):
         @pl.when(fits)
         def _fast(sub=sub, loff=loff, base_sw=base_sw, t=t):
             acc = jnp.zeros((c, 128), table_ref.dtype)
-            for i in range(K_SUB):
+            for i in range(k_sub):
                 x = table_ref[0, :, pl.dslice((base_sw + i) * 128, 128)]
                 g = jnp.take_along_axis(x, loff, axis=1)
                 acc = jnp.where(sub[None, :] == i, g, acc)
@@ -86,9 +90,16 @@ def _pad_axis(x, mult, axis, value=0):
 
 
 def windowed_row_gather(table_cm: jnp.ndarray, idx: jnp.ndarray,
-                        interpret: bool = False) -> jnp.ndarray:
+                        interpret: bool = False,
+                        k_sub: int = K_SUB,
+                        tile_s: int = TILE_S) -> jnp.ndarray:
     """table_cm: (b, C, N) channel-major table; idx: (b, S) int32 row ids in
     [0, N).  Returns (b, C, S) with out[b, :, s] = table_cm[b, :, idx[b, s]].
+
+    k_sub: fast-path window in 128-row bands — size to the caller's expected
+    per-128-sample spread (Morton-reordered tables make SFC-local queries
+    rank-local; see geometry/morton.py).  Exactness never depends on it (the
+    per-128-sample full-table fallback fires when the window misses).
 
     No gradient (the pixel decoder's neighbor tables are geometry, not
     parameters)."""
@@ -96,20 +107,21 @@ def windowed_row_gather(table_cm: jnp.ndarray, idx: jnp.ndarray,
     s = idx.shape[1]
     table_p = _pad_axis(table_cm, 128, 2)
     n_pad = table_p.shape[2]
-    idx_p = _pad_axis(idx, TILE_S, 1)
+    k_sub = min(k_sub, n_pad // 128)
+    idx_p = _pad_axis(idx, tile_s, 1)
     s_pad = idx_p.shape[1]
     idx_p = idx_p.reshape(b, s_pad // 128, 128)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, n_rows=n_pad),
-        grid=(b, s_pad // TILE_S),
+        functools.partial(_kernel, n_rows=n_pad, k_sub=k_sub, tile_s=tile_s),
+        grid=(b, s_pad // tile_s),
         in_specs=[
-            pl.BlockSpec((1, TILE_S // 128, 128), lambda bi, si: (bi, si, 0),
+            pl.BlockSpec((1, tile_s // 128, 128), lambda bi, si: (bi, si, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c, n_pad), lambda bi, si: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, c, TILE_S), lambda bi, si: (bi, 0, si),
+        out_specs=pl.BlockSpec((1, c, tile_s), lambda bi, si: (bi, 0, si),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c, s_pad), table_cm.dtype),
         compiler_params=pltpu.CompilerParams(
