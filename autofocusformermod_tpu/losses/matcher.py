@@ -78,13 +78,15 @@ def _resolve_backend() -> str:
 
 def batch_sigmoid_ce_cost(inputs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     """Pairwise mean binary-CE cost (matcher.py:39-63).
-    inputs: (q, p) logits; targets: (t, p) in {0,1} -> (q, t)."""
+    inputs: (q, p) logits; targets: (t, p) in {0,1} -> (q, t).
+
+    Uses pos - neg = softplus(-x) - softplus(x) = -x to fold the reference's
+    two softplus maps + two (q,p)x(t,p) einsums into one softplus row-sum +
+    ONE einsum: pos@tgt + neg@(1-tgt) = sum_p(neg) - x@tgt.  Same math, half
+    the transcendentals, a quarter of the MXU flops."""
     p = inputs.shape[1]
-    pos = jax.nn.softplus(-inputs)          # BCE against 1
-    neg = jax.nn.softplus(inputs)           # BCE against 0
-    loss = jnp.einsum("qp,tp->qt", pos, targets) + jnp.einsum(
-        "qp,tp->qt", neg, 1 - targets
-    )
+    neg_sum = jnp.sum(jax.nn.softplus(inputs), axis=1)      # (q,)
+    loss = neg_sum[:, None] - jnp.einsum("qp,tp->qt", inputs, targets)
     return loss / p
 
 

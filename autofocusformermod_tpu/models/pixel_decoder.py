@@ -75,14 +75,27 @@ class DualLayoutDense(nn.Module):
     bias_init: Callable = nn.initializers.zeros
 
     @nn.compact
-    def __call__(self, x, transposed: bool = False):
+    def __call__(self, x, transposed: bool = False, input_bhcn: bool = False):
+        in_features = (x.shape[1] * x.shape[2] if input_bhcn
+                       else x.shape[-1])
         kernel = self.param("kernel", self.kernel_init,
-                            (x.shape[-1], self.features))
+                            (in_features, self.features))
         bias = self.param("bias", self.bias_init, (self.features,))
         dtype = jnp.result_type(x.dtype, kernel.dtype, bias.dtype)
         x = x.astype(dtype)
         kernel = kernel.astype(dtype)
         bias = bias.astype(dtype)
+        if input_bhcn:
+            # x: (b, h, c_, n) channel-major — contract (h, c_) against the
+            # row-major kernel reshaped (h, c_, features); the head merge
+            # and query untranspose ride the MXU operand load instead of
+            # standing XLA relayouts
+            b, h, c_, n = x.shape
+            y = jax.lax.dot_general(
+                x, kernel.reshape(h, c_, self.features),
+                (((1, 2), (0, 1)), ((), ())),
+            )                                               # (b, n, features)
+            return y + bias
         if not transposed:
             return jax.lax.dot_general(
                 x, kernel, (((x.ndim - 1,), (0,)), ((), ()))
@@ -94,6 +107,47 @@ class DualLayoutDense(nn.Module):
 
 # Measured dead end (r3): head-natural kernel layout — see MSDeformAttnPc.
 USE_BH_LAYOUT = False
+
+# Stacked-glue fast path (r3): concatenate the three value-levels' idx/w on
+# the pair axis so the wrapper pays ONE (bh, n, 3P) -> (bh, 3P, n) relayout
+# per operand instead of three, and consume the kernel's channel-major
+# (bh, c_, n) output directly in the output projection's dot_general
+# (untranspose + head merge ride the MXU operand load instead of standing
+# relayouts).  Toggle for A/B: MSDETRPC_STACKED=0.
+USE_STACKED_GLUE = __import__("os").environ.get(
+    "MSDETRPC_STACKED", "1") not in ("0", "false")
+
+
+def _msdetrpc_dispatch_t(idxs_local, ws_shepard, attn_perm, values_all,
+                         level_sizes):
+    """Stacked/channel-major dispatch: returns (bh, c_, n_i) from the v14
+    kernel, or None when the fused path is unavailable (caller falls back to
+    _msdetrpc_dispatch)."""
+    from ..ops.dispatch import fused_attention_available
+    from ..ops.pallas.msdetrpc_kernel import msdetrpc_pallas_levels_s
+
+    if not USE_STACKED_GLUE or ABLATE_MSDETRPC:
+        return None
+    bh, n_i, kpts, kk = idxs_local[0].shape
+    pallas_ok = (
+        sum(level_sizes) == values_all.shape[1]
+        and all(nj % 128 == 0 for nj in level_sizes)
+    )
+    if not (fused_attention_available() and pallas_ok):
+        return None
+    dt = values_all.dtype
+    idx_s = jnp.concatenate(
+        [i.reshape(bh, n_i, kpts * kk) for i in idxs_local], axis=2
+    )
+    w_s = jnp.concatenate(
+        [(w.astype(jnp.float32)
+          * attn_perm[:, :, j, :, None].astype(jnp.float32))
+         .reshape(bh, n_i, kpts * kk)
+         for j, w in enumerate(ws_shepard)], axis=2,
+    )
+    return msdetrpc_pallas_levels_s(
+        idx_s, w_s, values_all.astype(jnp.float32), tuple(level_sizes)
+    ).astype(dt)
 
 
 def _msdetrpc_dispatch(idxs_local, ws_shepard, attn_perm, values_all,
@@ -379,7 +433,9 @@ class MSDeformAttnPc(nn.Module):
             h * l * k, name="attention_weights",
             kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
         )
-        out_proj = nn.Dense(self.d_model, name="output_proj")
+        # DualLayoutDense is nn.Dense-compatible (same param names/shapes);
+        # input_bhcn consumes the v14 kernel's channel-major output directly
+        out_proj = DualLayoutDense(self.d_model, name="output_proj")
 
         level_sizes = [q.shape[1] for q in querys]
         from ..ops.dispatch import fused_attention_available
@@ -469,6 +525,15 @@ class MSDeformAttnPc(nn.Module):
                 ws_shepard.append(w.reshape(b * h, n_i, k, 4))
 
             attn_perm = attn.transpose(0, 2, 1, 3, 4).reshape(b * h, n_i, l, k)
+            sampled_t = _msdetrpc_dispatch_t(
+                idxs_local, ws_shepard, attn_perm, values_all,
+                tuple(level_sizes)
+            )
+            if sampled_t is not None:
+                outputs.append(out_proj(
+                    sampled_t.reshape(b, h, c_, n_i), input_bhcn=True
+                ))
+                continue
             sampled = _msdetrpc_dispatch(
                 idxs_local, ws_shepard, attn_perm, values_all,
                 tuple(level_sizes)

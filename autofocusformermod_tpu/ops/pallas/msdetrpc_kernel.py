@@ -1792,6 +1792,158 @@ def _bwd_levels_t(level_sizes, res, g):
 msdetrpc_pallas_levels_t.defvjp(_fwd_levels_t, _bwd_levels_t)
 
 
+def _kernel_v14(idx_ref, w_ref, val_ref, out_ref, acc_ref, *, level_sizes,
+                pairs_per_level, n_pad):
+    """Stacked-operand v13: identical math/band-windowing to _kernel_v13,
+    but the per-level idx/w operands arrive as ONE stacked (1, L*P, BQ)
+    ref each (static sublane slices pick level j's rows) so XLA materializes
+    ONE (bh, n, L*P) -> (bh, L*P, n) relayout per array instead of L, and
+    the output stays (c_, BQ) — the wrapper returns it channel-major for
+    the consumer to fold into the output projection's dot_general."""
+    n_levels = len(level_sizes)
+    val_ref = val_ref  # (1, nb, c_, 128)
+    c_ = out_ref.shape[1]
+    bq = out_ref.shape[2]
+    p = pairs_per_level
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    off = 0
+    for j, nj in enumerate(level_sizes):
+        hi_n = nj // 128
+        kw = -(-bq * nj // n_pad) // 128 + _WINDOW_SLACK
+        if kw > hi_n // 2:
+            kw = hi_n
+        idx_j = idx_ref[0, j * p:(j + 1) * p, :]           # (P, BQ) local
+        w_j = w_ref[0, j * p:(j + 1) * p, :]
+        hi = idx_j // 128
+        lo = idx_j - hi * 128
+        band0 = off // 128
+
+        def _bands(band_idxs, hi_vals, hi=hi, lo=lo, w_j=w_j, band0=band0):
+            acc = jnp.zeros((c_, bq), jnp.float32)
+            for band, hval in zip(band_idxs, hi_vals):
+                vt = val_ref[0, pl.dslice(band0 + band, 1)][0]  # (c_, 128)
+                for p_i in range(p):
+                    wsel = jnp.where(
+                        hi[p_i : p_i + 1, :] == hval,
+                        w_j[p_i : p_i + 1, :], 0.0,
+                    )
+                    g = jnp.take_along_axis(
+                        vt,
+                        jnp.broadcast_to(lo[p_i : p_i + 1, :], (c_, bq)),
+                        axis=1,
+                    )
+                    acc = acc + g * wsel
+            acc_ref[...] += acc
+
+        if hi_n <= kw:
+            _bands(list(range(hi_n)), list(range(hi_n)))
+            off += nj
+            continue
+
+        base = jnp.min(hi)
+        fits = (jnp.max(hi) - base) < kw
+
+        @pl.when(fits)
+        def _fast(base=base, _bands=_bands):
+            _bands([base + i for i in range(kw)],
+                   [base + i for i in range(kw)])
+
+        @pl.when(jnp.logical_not(fits))
+        def _full(hi_n=hi_n, _bands=_bands):
+            _bands(list(range(hi_n)), list(range(hi_n)))
+
+        off += nj
+    out_ref[0] = acc_ref[...]
+
+
+def _run_fwd_v14(idx_st, w_st, val_f, level_sizes, pairs, n_pad,
+                 interpret=False):
+    """pallas_call for the stacked v14 forward.  idx_st/w_st: (bh, L*P,
+    n_pad) with queries minor; val_f: (bh, ntot, c_) fp32.  Returns
+    (bh, c_, n_pad) channel-major."""
+    bh, lp, _ = idx_st.shape
+    ntot, c_ = val_f.shape[1:]
+    nqb = n_pad // BLOCK_Q
+    n_bands = ntot // 128
+    val_t = val_f.reshape(bh, n_bands, 128, c_).transpose(0, 1, 3, 2)
+    stk_spec = pl.BlockSpec((1, lp, BLOCK_Q), lambda b, q: (b, 0, q),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_v14, level_sizes=tuple(level_sizes),
+            pairs_per_level=pairs, n_pad=n_pad,
+        ),
+        grid=(bh, nqb),
+        in_specs=[stk_spec, stk_spec,
+                  pl.BlockSpec((1, n_bands, c_, 128), lambda b, q: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, c_, BLOCK_Q), lambda b, q: (b, 0, q),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, c_, n_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((c_, BLOCK_Q), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(idx_st, w_st, val_t)
+
+
+def msdetrpc_pallas_levels_s_impl(idx_s, w_s, val,
+                                  level_sizes: Tuple[int, ...],
+                                  interpret: bool = False):
+    """Stacked-operand forward: idx_s/w_s are (bh, n, L*P) with the L levels
+    concatenated on the pair axis (level-LOCAL indices).  The wrapper pays
+    ONE (bh, n, L*P) -> (bh, L*P, n) relayout per operand (vs L in
+    msdetrpc_pallas_levels) and returns the kernel's output CHANNEL-MAJOR
+    (bh, c_, n) so the consumer can absorb the untranspose into its output
+    projection's dot_general."""
+    bh, n, lp = idx_s.shape
+    pairs = lp // len(level_sizes)
+    idx_p = _pad_to(idx_s.astype(jnp.int32), BLOCK_Q, 1)
+    w_p = _pad_to(w_s.astype(jnp.float32), BLOCK_Q, 1)
+    n_pad = idx_p.shape[1]
+    out = _run_fwd_v14(idx_p.transpose(0, 2, 1), w_p.transpose(0, 2, 1),
+                       val.astype(jnp.float32), level_sizes, pairs, n_pad,
+                       interpret)
+    return out[:, :, :n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def msdetrpc_pallas_levels_s(idx_s, w_s, val, level_sizes):
+    """Stacked-layout variant of msdetrpc_pallas_levels.
+
+    idx_s: (bh, n, L*pairs) int32 level-LOCAL indices, levels stacked on the
+           pair axis (level j occupies columns [j*pairs, (j+1)*pairs))
+    w_s:   (bh, n, L*pairs) f32 shepard*attention weights, same stacking
+    val:   (bh, ntot, c_); level_sizes partitions its token axis.
+    Returns (bh, c_, n) CHANNEL-MAJOR."""
+    return msdetrpc_pallas_levels_s_impl(idx_s, w_s, val, level_sizes)
+
+
+def _fwd_levels_s(idx_s, w_s, val, level_sizes):
+    return msdetrpc_pallas_levels_s_impl(idx_s, w_s, val, level_sizes), (
+        idx_s, w_s, val,
+    )
+
+
+def _bwd_levels_s(level_sizes, res, g):
+    """Training-only: split the stacked operands per level and reuse the
+    lane-gather backward (_bwd_levels); g arrives channel-major."""
+    idx_s, w_s, val = res
+    p = idx_s.shape[2] // len(level_sizes)
+    idxs = tuple(idx_s[:, :, j * p:(j + 1) * p]
+                 for j in range(len(level_sizes)))
+    ws = tuple(w_s[:, :, j * p:(j + 1) * p]
+               for j in range(len(level_sizes)))
+    _, d_ws, d_val = _bwd_levels(level_sizes, (idxs, ws, val),
+                                 g.transpose(0, 2, 1))
+    return (jnp.zeros_like(idx_s), jnp.concatenate(d_ws, axis=2), d_val)
+
+
+msdetrpc_pallas_levels_s.defvjp(_fwd_levels_s, _bwd_levels_s)
+
+
 # ---------------------------------------------------------------------------
 # Head-natural layout path (r3): the (b, n, h, ...) tensors coming out of the
 # pixel decoder's Dense producers are consumed DIRECTLY — the grid's (b*h)

@@ -105,6 +105,12 @@ def main() -> None:
         ("value_and_grad", lambda s: stage_grad(params, bstats, batch, s)),
         ("full step", lambda s: stage_step(state, batch, s)),
     ]
+    # PROF_STAGES=forward,full step — run a subset (cold TPU compiles are
+    # minutes each; per-stage invocations bound each run's wall clock)
+    sel = os.environ.get("PROF_STAGES")
+    if sel:
+        keep = [x.strip() for x in sel.split(",")]
+        stages = [st for st in stages if st[0] in keep]
     prev = 0.0
     print(f"amp={amp} batch={b}", flush=True)
     for name, fn in stages:
