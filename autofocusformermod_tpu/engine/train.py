@@ -374,7 +374,18 @@ class Trainer:
         for t in thing_ids.values():
             if 0 <= t < nc:
                 is_thing[t] = True
-        evaluator = InstanceSegEvaluator(
+        # protocol dispatch mirrors reference Trainer.build_evaluator
+        # (train_net.py:170-178 CityscapesInstanceEvaluator subprocess,
+        # :201-203 LVISEvaluator): official cityscapes matching/averaging for
+        # cityscapes_instance, federated AP for lvis, COCO AP otherwise
+        etype = meta.get("evaluator_type", "")
+        if "cityscapes" in etype or "cityscapes" in dataset_name:
+            from ..evaluation import CityscapesInstanceEvaluator as _EvCls
+        elif "lvis" in etype or "lvis" in dataset_name:
+            from ..evaluation import LVISInstanceSegEvaluator as _EvCls
+        else:
+            _EvCls = InstanceSegEvaluator
+        evaluator = _EvCls(
             nc,
             output_dir=cfg.OUTPUT_DIR or None,
             contiguous_id_to_dataset_id={v: k for k, v in thing_ids.items()},

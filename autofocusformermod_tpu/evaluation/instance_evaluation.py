@@ -127,6 +127,11 @@ class InstanceSegEvaluator:
         self._gts += other._gts
         self._img_ids |= other._img_ids
 
+    def _det_ignorable(self, img, cls) -> bool:
+        """Whether an UNMATCHED detection of `cls` on `img` is dropped
+        instead of counted FP (LVIS not-exhaustive rule; COCO: never)."""
+        return False
+
     def evaluate(self) -> Dict[str, float]:
         T = len(IOU_THRS)
         ap_per_class = []
@@ -167,7 +172,7 @@ class InstanceSegEvaluator:
                             continue  # matched to crowd: neither TP nor FP
                         matched[t].add((img, best_j))
                         tps[t, di] = True
-                    else:
+                    elif not self._det_ignorable(img, cls):
                         fps[t, di] = True
 
             ap_t = np.zeros(T)
@@ -196,3 +201,259 @@ class InstanceSegEvaluator:
             "AP50": float(np.mean(ap50_per_class) * 100),
             "AP75": float(np.mean(ap75_per_class) * 100),
         }
+
+
+class CityscapesInstanceEvaluator(InstanceSegEvaluator):
+    """Official cityscapes instance-AP protocol, transcribed from
+    cityscapesscripts evalInstanceLevelSemanticLabeling.py (the reference
+    evaluates via that library in a subprocess —
+    /root/reference/train_net.py:170-178,
+    mask2former/evaluation/maskfiner_evaluation.py cityscapes evaluators).
+
+    Differences from the COCO protocol (InstanceSegEvaluator):
+
+    - matching is NOT greedy-exclusive: every prediction with IoU strictly
+      ABOVE the overlap threshold matches a ground truth; when several
+      predictions match one gt, the highest-confidence one carries the TP
+      and the others are appended as false positives with their own scores
+      (evaluateMatches, "matched_gt" duplicate handling)
+    - unmatched gts count as HARD false negatives added to the denominator
+      of recall at every score threshold
+    - unmatched predictions are dropped (not FPs) when more than overlapTh
+      of their pixels lie on ignore regions: void pixels, crowd/group
+      instances, or gt instances below minRegionSize=100 px
+    - average precision integrates the EXACT score-thresholded PR curve
+      (trapezoid via the [-0.5, 0, 0.5] convolution over recall), not the
+      COCO 101-point interpolation; no monotone envelope
+    - headline AP averages over overlaps 0.50:0.05:0.95 and classes,
+      ignoring classes without ground truth (nan-mean); AP50 is the 0.5
+      column
+
+    process() takes the same arguments as the base class; gt_iscrowd marks
+    group instances, and ``void_mask`` (optional per image) marks unlabeled
+    pixels for the ignore-proportion rule."""
+
+    MIN_REGION_SIZE = 100
+
+    def __init__(self, num_classes: int, class_names=None, output_dir=None,
+                 contiguous_id_to_dataset_id=None):
+        super().__init__(num_classes, class_names, output_dir,
+                         contiguous_id_to_dataset_id)
+        self._void: Dict = {}
+
+    def process(self, image_id, pred_masks, pred_classes, pred_scores,
+                gt_masks, gt_classes, gt_iscrowd=None, void_mask=None):
+        if void_mask is not None:
+            self._void[image_id] = rle_encode(void_mask)
+        # no per-image det cap in the cityscapes protocol: bypass the COCO
+        # MAX_DETS truncation in the base process()
+        self._img_ids.add(image_id)
+        for i in range(len(pred_classes)):
+            if pred_masks[i].sum() == 0:
+                continue
+            self._dets.append(
+                (image_id, int(pred_classes[i]), float(pred_scores[i]),
+                 rle_encode(pred_masks[i]))
+            )
+        gt_iscrowd = gt_iscrowd if gt_iscrowd is not None else [0] * len(gt_classes)
+        for j in range(len(gt_classes)):
+            self._gts.append(
+                (image_id, int(gt_classes[j]), rle_encode(gt_masks[j]),
+                 int(gt_iscrowd[j]))
+            )
+
+    def merge(self, other):
+        super().merge(other)
+        self._void.update(getattr(other, "_void", {}))
+
+    @staticmethod
+    def _rle_intersection(a: Dict, b: Dict) -> int:
+        return int(np.logical_and(rle_decode_bool(a), rle_decode_bool(b)).sum())
+
+    def _ap_curve(self, y_true, y_score, hard_fns):
+        """Exact PR integration (evalInstanceLevelSemanticLabeling.py
+        "compute precision recall curve" block)."""
+        y_true = np.asarray(y_true, float)
+        y_score = np.asarray(y_score, float)
+        if len(y_score) == 0:
+            return 0.0
+        order = np.argsort(y_score, kind="mergesort")
+        y_score = y_score[order]
+        y_true = y_true[order]
+        cumsum = np.cumsum(y_true)
+        thresholds, unique_idx = np.unique(y_score, return_index=True)
+        nb = len(unique_idx) + 1
+        precision = np.zeros(nb)
+        recall = np.zeros(nb)
+        nb_examples = len(y_score)
+        nb_true = cumsum[-1]
+        for res_i, idx in enumerate(unique_idx):
+            cum = cumsum[idx - 1] if idx > 0 else 0.0
+            tp = nb_true - cum
+            fp = nb_examples - idx - tp
+            fn = cum + hard_fns
+            precision[res_i] = tp / (tp + fp) if (tp + fp) > 0 else 0.0
+            recall[res_i] = tp / (tp + fn) if (tp + fn) > 0 else 0.0
+        precision[-1] = 1.0
+        recall[-1] = 0.0
+        r_conv = np.concatenate([[recall[0]], recall, [0.0]])
+        steps = np.convolve(r_conv, [-0.5, 0.0, 0.5], "valid")
+        return float(np.dot(precision, steps))
+
+    def evaluate(self) -> Dict[str, float]:
+        overlaps = np.arange(0.5, 1.0, 0.05)
+        ap = np.full((self.num_classes, len(overlaps)), np.nan)
+
+        dets_by = {}
+        for d in self._dets:
+            dets_by.setdefault((d[0], d[1]), []).append(d)
+        gts_by = {}
+        gts_ignore_by = {}   # per image: crowd or too-small gts, ANY class
+        for g in self._gts:
+            if g[3] or rle_area(g[2]) < self.MIN_REGION_SIZE:
+                gts_ignore_by.setdefault(g[0], []).append(g)
+            else:
+                gts_by.setdefault((g[0], g[1]), []).append(g)
+
+        for cls in range(self.num_classes):
+            have_gt = any(k[1] == cls for k in gts_by)
+            if not have_gt:
+                continue
+            imgs = sorted({k[0] for k in list(gts_by) + list(dets_by)
+                           if k[1] == cls},
+                          key=lambda x: str(x))
+            for oi, th in enumerate(overlaps):
+                y_true, y_score = [], []
+                hard_fns = 0
+                for img in imgs:
+                    gts = gts_by.get((img, cls), [])
+                    dts = sorted(dets_by.get((img, cls), []),
+                                 key=lambda d: -d[2])
+                    ious = np.zeros((len(dts), len(gts)))
+                    for di, d in enumerate(dts):
+                        for gi, g in enumerate(gts):
+                            ious[di, gi] = rle_iou(d[3], g[2])
+                    for gi in range(len(gts)):
+                        m = [di for di in range(len(dts))
+                             if ious[di, gi] > th]
+                        if not m:
+                            hard_fns += 1
+                            continue
+                        scores = sorted((dts[di][2] for di in m),
+                                        reverse=True)
+                        y_true.append(1.0)
+                        y_score.append(scores[0])
+                        for s in scores[1:]:     # duplicate matches -> FPs
+                            y_true.append(0.0)
+                            y_score.append(s)
+                    # unmatched predictions: FP unless mostly on ignore
+                    for di, d in enumerate(dts):
+                        if len(gts) and (ious[di] > th).any():
+                            continue
+                        area = rle_area(d[3])
+                        n_ignore = 0
+                        if img in self._void:
+                            n_ignore += self._rle_intersection(
+                                d[3], self._void[img])
+                        for g in gts_ignore_by.get(img, []):
+                            n_ignore += self._rle_intersection(d[3], g[2])
+                        if area > 0 and n_ignore / area <= th:
+                            y_true.append(0.0)
+                            y_score.append(d[2])
+                if y_score:
+                    ap[cls, oi] = self._ap_curve(y_true, y_score, hard_fns)
+                else:
+                    ap[cls, oi] = 0.0
+
+        valid = ~np.all(np.isnan(ap), axis=1)
+        if not valid.any():
+            return {"AP": 0.0, "AP50": 0.0}
+        o50 = int(np.argmin(np.abs(overlaps - 0.5)))
+        return {
+            "AP": float(np.nanmean(ap[valid]) * 100),
+            "AP50": float(np.nanmean(ap[valid][:, o50]) * 100),
+        }
+
+
+class LVISInstanceSegEvaluator(InstanceSegEvaluator):
+    """LVIS federated mask AP, transcribed from the lvis-api LVISEval
+    semantics (the reference evaluates cocofied LVIS via LVISEvaluator —
+    /root/reference/train_net.py:201-203).
+
+    Differences from the COCO protocol (InstanceSegEvaluator):
+
+    - FEDERATED evaluation: for each category c, only images where c is
+      positively annotated (c appears in the gt) or explicitly negative
+      (``neg_categories``) are scored; detections of c on any other image
+      are DROPPED — neither TP nor FP (LVIS does not exhaustively annotate
+      every image, so absence of gt is not evidence of absence)
+    - detections on images where c is marked not-exhaustively annotated
+      (``not_exhaustive_categories``) are likewise only matched against the
+      existing gts; unmatched ones are dropped rather than counted FP
+    - per-image detection cap 300 ACROSS categories (COCO: 100)
+
+    The accumulation (10 IoU thresholds, 101-point interpolation) is
+    identical to COCO — for exhaustively annotated synthetic data the two
+    protocols coincide exactly (pinned by
+    tests/test_evaluator_protocol.py)."""
+
+    MAX_DETS_PER_IMAGE = 300
+
+    def __init__(self, num_classes: int, class_names=None, output_dir=None,
+                 contiguous_id_to_dataset_id=None):
+        super().__init__(num_classes, class_names, output_dir,
+                         contiguous_id_to_dataset_id)
+        self._neg: Dict = {}
+        self._not_exhaustive: Dict = {}
+
+    def process(self, image_id, pred_masks, pred_classes, pred_scores,
+                gt_masks, gt_classes, gt_iscrowd=None,
+                neg_categories=(), not_exhaustive_categories=()):
+        self._neg[image_id] = set(int(c) for c in neg_categories)
+        self._not_exhaustive[image_id] = set(
+            int(c) for c in not_exhaustive_categories)
+        self._img_ids.add(image_id)
+        order = np.argsort(-np.asarray(pred_scores))[: self.MAX_DETS_PER_IMAGE]
+        for i in order:
+            if pred_masks[i].sum() == 0:
+                continue
+            self._dets.append(
+                (image_id, int(pred_classes[i]), float(pred_scores[i]),
+                 rle_encode(pred_masks[i]))
+            )
+        gt_iscrowd = gt_iscrowd if gt_iscrowd is not None else [0] * len(gt_classes)
+        for j in range(len(gt_classes)):
+            self._gts.append(
+                (image_id, int(gt_classes[j]), rle_encode(gt_masks[j]),
+                 int(gt_iscrowd[j]))
+            )
+
+    def merge(self, other):
+        super().merge(other)
+        self._neg.update(getattr(other, "_neg", {}))
+        self._not_exhaustive.update(getattr(other, "_not_exhaustive", {}))
+
+    def _det_ignorable(self, img, cls) -> bool:
+        return cls in self._not_exhaustive.get(img, set())
+
+    def evaluate(self) -> Dict[str, float]:
+        # federated filter: keep detections of class c only on images where
+        # c is positive or explicitly negative; then reuse the COCO-protocol
+        # matching/accumulation (identical in LVISEval) on the filtered set.
+        pos: Dict[int, set] = {}
+        for img, cls, _, _ in self._gts:
+            pos.setdefault(cls, set()).add(img)
+        kept_dets = []
+        for d in self._dets:
+            img, cls = d[0], d[1]
+            if img in pos.get(cls, set()):
+                kept_dets.append(d)
+            elif cls in self._neg.get(img, set()):
+                kept_dets.append(d)
+            # else: unannotated for this category -> dropped (federated)
+        saved = self._dets
+        self._dets = kept_dets
+        try:
+            return super().evaluate()
+        finally:
+            self._dets = saved

@@ -115,7 +115,19 @@ USE_BH_LAYOUT = False
 # (untranspose + head merge ride the MXU operand load instead of standing
 # relayouts).  Toggle for A/B: MSDETRPC_STACKED=0.
 USE_STACKED_GLUE = __import__("os").environ.get(
-    "MSDETRPC_STACKED", "1") not in ("0", "false")
+    "MSDETRPC_STACKED", "1").strip().lower() not in ("0", "false", "no")
+
+
+def _pallas_levels_ok(level_sizes, values_all) -> bool:
+    """Shape gate for the fused per-level Pallas sampling kernels, shared by
+    both dispatchers so the fallback conditions cannot drift apart."""
+    from ..ops.dispatch import fused_attention_available
+
+    return (
+        fused_attention_available()
+        and sum(level_sizes) == values_all.shape[1]
+        and all(nj % 128 == 0 for nj in level_sizes)
+    )
 
 
 def _msdetrpc_dispatch_t(idxs_local, ws_shepard, attn_perm, values_all,
@@ -123,17 +135,12 @@ def _msdetrpc_dispatch_t(idxs_local, ws_shepard, attn_perm, values_all,
     """Stacked/channel-major dispatch: returns (bh, c_, n_i) from the v14
     kernel, or None when the fused path is unavailable (caller falls back to
     _msdetrpc_dispatch)."""
-    from ..ops.dispatch import fused_attention_available
     from ..ops.pallas.msdetrpc_kernel import msdetrpc_pallas_levels_s
 
     if not USE_STACKED_GLUE or ABLATE_MSDETRPC:
         return None
     bh, n_i, kpts, kk = idxs_local[0].shape
-    pallas_ok = (
-        sum(level_sizes) == values_all.shape[1]
-        and all(nj % 128 == 0 for nj in level_sizes)
-    )
-    if not (fused_attention_available() and pallas_ok):
+    if not _pallas_levels_ok(level_sizes, values_all):
         return None
     dt = values_all.dtype
     idx_s = jnp.concatenate(
@@ -163,7 +170,6 @@ def _msdetrpc_dispatch(idxs_local, ws_shepard, attn_perm, values_all,
     (bh, n_i, l, k) softmaxed attention.  Per-level inputs keep the kernel
     operands in their producers' natural layout — the old interleaved
     (bh, n, k*l, 4) form forced two XLA relayout copies per call."""
-    from ..ops.dispatch import fused_attention_available
     from ..ops.pallas.msdetrpc_kernel import msdetrpc_pallas_levels
 
     bh, n_i, kpts, kk = idxs_local[0].shape
@@ -172,11 +178,7 @@ def _msdetrpc_dispatch(idxs_local, ws_shepard, attn_perm, values_all,
         return jnp.zeros((bh, n_i, values_all.shape[-1]),
                          values_all.dtype) + attn_perm.sum() * 0.0
     dt = values_all.dtype
-    pallas_ok = (
-        sum(level_sizes) == values_all.shape[1]
-        and all(nj % 128 == 0 for nj in level_sizes)
-    )
-    if fused_attention_available() and pallas_ok:
+    if _pallas_levels_ok(level_sizes, values_all):
         idxs = tuple(i.reshape(bh, n_i, kpts * kk) for i in idxs_local)
         ws = tuple(
             (w.astype(jnp.float32)

@@ -1708,11 +1708,10 @@ def _fwd_levels(idxs, ws, val, level_sizes):
     )
 
 
-def _bwd_levels(level_sizes, res, g):
+def _bwd_levels_impl(idxs, ws, val, g, level_sizes, interpret=False):
     """Reuse the regrouped-layout backward kernel: the regrouped layout IS
     per-level contiguous, so assembling it is a plain stack (training-only
     path; inference never pays it)."""
-    idxs, ws, val = res
     bh, n, pairs = idxs[0].shape
     ntot, c_ = val.shape[1:]
     n_levels = len(level_sizes)
@@ -1730,13 +1729,18 @@ def _bwd_levels(level_sizes, res, g):
     g_f = _pad_to(g.astype(jnp.float32), BLOCK_Q, 1, value=0.0)
 
     dval, dwr = _run_bwd_kernel(idx, wr, val_f, g_f, level_sizes, pairs,
-                                n_pad)
+                                n_pad, interpret=interpret)
 
     d_ws = tuple(
         dwr[:, :n, j].astype(ws[j].dtype) for j in range(n_levels)
     )
     d_idxs = tuple(jnp.zeros_like(i) for i in idxs)
     return d_idxs, d_ws, dval.astype(val.dtype)
+
+
+def _bwd_levels(level_sizes, res, g):
+    idxs, ws, val = res
+    return _bwd_levels_impl(idxs, ws, val, g, level_sizes)
 
 
 msdetrpc_pallas_levels.defvjp(_fwd_levels, _bwd_levels)
@@ -1799,9 +1803,8 @@ def _kernel_v14(idx_ref, w_ref, val_ref, out_ref, acc_ref, *, level_sizes,
     ref each (static sublane slices pick level j's rows) so XLA materializes
     ONE (bh, n, L*P) -> (bh, L*P, n) relayout per array instead of L, and
     the output stays (c_, BQ) — the wrapper returns it channel-major for
-    the consumer to fold into the output projection's dot_general."""
-    n_levels = len(level_sizes)
-    val_ref = val_ref  # (1, nb, c_, 128)
+    the consumer to fold into the output projection's dot_general.
+    val_ref: (1, nb, c_, 128)."""
     c_ = out_ref.shape[1]
     bq = out_ref.shape[2]
     p = pairs_per_level
@@ -1927,18 +1930,24 @@ def _fwd_levels_s(idx_s, w_s, val, level_sizes):
     )
 
 
-def _bwd_levels_s(level_sizes, res, g):
+def msdetrpc_pallas_levels_s_bwd_impl(idx_s, w_s, val, g, level_sizes,
+                                      interpret=False):
     """Training-only: split the stacked operands per level and reuse the
-    lane-gather backward (_bwd_levels); g arrives channel-major."""
-    idx_s, w_s, val = res
+    lane-gather backward (_bwd_levels_impl); g arrives channel-major
+    (bh, c_, n).  Returns (d_idx_s zeros, d_w_s stacked, d_val)."""
     p = idx_s.shape[2] // len(level_sizes)
     idxs = tuple(idx_s[:, :, j * p:(j + 1) * p]
                  for j in range(len(level_sizes)))
     ws = tuple(w_s[:, :, j * p:(j + 1) * p]
                for j in range(len(level_sizes)))
-    _, d_ws, d_val = _bwd_levels(level_sizes, (idxs, ws, val),
-                                 g.transpose(0, 2, 1))
+    _, d_ws, d_val = _bwd_levels_impl(idxs, ws, val, g.transpose(0, 2, 1),
+                                      level_sizes, interpret=interpret)
     return (jnp.zeros_like(idx_s), jnp.concatenate(d_ws, axis=2), d_val)
+
+
+def _bwd_levels_s(level_sizes, res, g):
+    idx_s, w_s, val = res
+    return msdetrpc_pallas_levels_s_bwd_impl(idx_s, w_s, val, g, level_sizes)
 
 
 msdetrpc_pallas_levels_s.defvjp(_fwd_levels_s, _bwd_levels_s)

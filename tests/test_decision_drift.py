@@ -141,3 +141,44 @@ def test_pallas_decision_flips_bounded():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+def test_flagship_drift_artifact_within_budget():
+    """Pin the committed flagship-scale drift artifact (VERDICT r3 item 3):
+    tools/measure_decision_drift.py measures bf16+Pallas decision flips vs
+    the fp32-XLA reference on the real chip at BOTH random init and
+    soak-trained weights and commits DRIFT_r04.json.  The r3 flag was a
+    7.7% mask-threshold flip rate at random init — an artifact of near-tied
+    logits (the margin distribution in the artifact quantifies this).  At
+    TRAINED weights the decisions PQ/AP consume must be stable:
+
+      - semantic argmax flips  < 1e-3  (drives mIoU/PQ stuff segments)
+      - query class flips       < 5e-2 (topk scores, rescored downstream)
+      - mask threshold flips    < 1e-2 of pixels, AND bounded by the
+        near-threshold mass: flips can only happen where |logit| is within
+        bf16 noise of 0, so the flip rate must not exceed the measured
+        fraction of logits within 5% of the logit scale
+    """
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "DRIFT_r04.json")
+    if not os.path.exists(path):
+        pytest.skip("DRIFT_r04.json not yet committed (TPU artifact)")
+    with open(path) as f:
+        drift = json.load(f)
+    trained = drift.get("soak_trained", {})
+    if "error" in trained or "bf16_pallas_vs_fp32_xla" not in trained:
+        pytest.fail(f"artifact lacks trained-weights tier: {trained}")
+    fast = trained["bf16_pallas_vs_fp32_xla"]
+    margins = trained["mask_logit_margins"]
+    assert fast["sem_argmax_flip_rate"] < 1e-3, fast
+    assert fast["query_class_flip_rate"] < 5e-2, fast
+    assert fast["mask_threshold_flip_rate"] < 1e-2, fast
+    assert (fast["mask_threshold_flip_rate"]
+            <= margins["frac_within_5pct_of_scale"] + 1e-4), (
+        "flips exceed the near-threshold mass - not explainable as "
+        "coin-flip ties", fast, margins)
+    # kernels alone (no AMP) must be decision-clean at trained weights too
+    ker = trained["pallas_only_vs_fp32_xla"]
+    assert ker["mask_threshold_flip_rate"] < 1e-3, ker

@@ -451,3 +451,50 @@ def test_dynamic_k_split_buckets():
     # cap
     assert dynamic_k_split(np.ones((1, 100)), 100, threshold=0.5,
                            cap_ratio=0.25) == 25
+
+
+def test_maskfiner_sharded_train_step_on_mesh(cascade_out):
+    """The 4-stage cascade's forward+backward (STE splits, per-stage
+    criteria, aux accumulation) sharded over the virtual 8-device mesh
+    (VERDICT r3 #8: the cascade's sharding and backward were only ever
+    exercised single-device)."""
+    import jax
+
+    from autofocusformermod_tpu.engine.optimizer import build_optimizer
+    from autofocusformermod_tpu.parallel import (
+        TrainState,
+        make_maskfiner_train_step,
+        make_mesh,
+        replicate,
+        shard_batch,
+    )
+
+    cfg, model, variables, x, out = cascade_out
+    rng = np.random.default_rng(1)
+    t = 2
+    masks = np.zeros((2, t, 64, 64), np.float32)
+    masks[:, 0, :32] = 1.0
+    masks[:, 1, 32:] = 1.0
+    batch = {
+        "image": x,
+        "labels": jnp.asarray(rng.integers(0, 7, (2, t)), jnp.int32),
+        "masks": jnp.asarray(masks),
+        "valid": jnp.ones((2, t), bool),
+    }
+    big = jax.tree_util.tree_map(
+        lambda a: jnp.concatenate([a] * 4, axis=0), batch
+    )
+    tx = build_optimizer(cfg, variables["params"])
+    state = TrainState.create(
+        variables["params"], variables.get("batch_stats", {}), tx
+    )
+    step = make_maskfiner_train_step(
+        model, cfg.MODEL.MR_SEM_SEG_HEAD.NUM_CLASSES, num_points=64,
+        donate=False,
+    )
+    mesh = make_mesh(8)
+    state = replicate(mesh, state)
+    big = shard_batch(mesh, big)
+    new_state, metrics = step(state, big, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert int(new_state.step) == int(state.step) + 1

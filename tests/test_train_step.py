@@ -147,3 +147,66 @@ def test_jv_matches_scipy_under_sharded_mesh():
     # sanity: each image's assignment is a valid injection into queries
     for i in range(b):
         assert len(set(results["jv"][i])) == t
+
+
+def test_checkpoint_resume_bit_identical(setup, tmp_path):
+    """Orbax save -> restore -> continue == uninterrupted run (VERDICT r3 #5).
+
+    Exercises the exact state surface engine/train.py:98-113 round-trips
+    (params / batch_stats / opt_state / step): n steps + save + restore into
+    a FRESH TrainState + (N - n) steps must be bit-identical to N straight
+    steps, with per-step keys folded from the step index the way a resumed
+    trainer would regenerate them."""
+    from autofocusformermod_tpu.engine.checkpoint import Checkpointer
+
+    cfg, model, state0, step_fn, batch = setup
+    base_key = jax.random.PRNGKey(11)
+    N, n = 4, 2
+
+    def run(state, start, stop):
+        for i in range(start, stop):
+            state, _ = step_fn(state, batch, jax.random.fold_in(base_key, i))
+        return state
+
+    # uninterrupted N steps
+    ref = run(state0, 0, N)
+
+    # n steps -> save -> restore into a fresh TrainState -> continue
+    mid = run(state0, 0, n)
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    ckpt.save(
+        int(mid.step),
+        {"params": mid.params, "batch_stats": mid.batch_stats,
+         "opt_state": mid.opt_state, "step": mid.step},
+        force=True,
+    )
+    ckpt.wait()
+    assert ckpt.latest_step() == n
+
+    from autofocusformermod_tpu.engine.optimizer import build_optimizer
+    fresh_tx = build_optimizer(cfg, state0.params)
+    fresh = TrainState.create(state0.params, state0.batch_stats, fresh_tx)
+    template = {"params": fresh.params, "batch_stats": fresh.batch_stats,
+                "opt_state": fresh.opt_state, "step": fresh.step}
+    restored = Checkpointer(str(tmp_path / "ckpt")).restore(template)
+    fresh = fresh.replace(
+        params=restored["params"], batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"], step=restored["step"],
+    )
+    assert int(fresh.step) == n
+    resumed = run(fresh, n, N)
+
+    assert int(resumed.step) == int(ref.step) == N
+    for name, a, b in (
+        ("params", ref.params, resumed.params),
+        ("batch_stats", ref.batch_stats, resumed.batch_stats),
+        ("opt_state", ref.opt_state, resumed.opt_state),
+    ):
+        ra = jax.tree_util.tree_leaves(a)
+        rb = jax.tree_util.tree_leaves(b)
+        assert len(ra) == len(rb), name
+        for la, lb in zip(ra, rb):
+            np.testing.assert_array_equal(
+                np.asarray(la), np.asarray(lb),
+                err_msg=f"{name}: resume diverged from uninterrupted run",
+            )

@@ -1,10 +1,14 @@
-"""On-TPU training soak (VERDICT r2 item 9): ~300 bf16 train steps on one
-fixed synthetic batch (overfit), asserting finite, descending loss — proves
-the Pallas backward kernels + AMP + JV matcher + AdamW integrate beyond the
-~13-step bench.  Writes the loss curve to SOAK_r03.jsonl (one JSON per line)
-and exits nonzero on NaN or insufficient descent.
+"""On-TPU training soak (VERDICT r2 item 9, r3 item 9): bf16 train steps on
+one fixed synthetic batch (overfit), asserting finite, descending loss —
+proves the Pallas backward kernels + AMP + JV matcher + AdamW integrate
+beyond the ~13-step bench.  Writes the loss curve plus a periodic
+synthetic-eval mIoU (semantic inference on the overfit batch vs its own blob
+targets) to SOAK_<tag>.jsonl, and saves the final params/batch_stats to
+soak_ckpt.npz so tools/measure_decision_drift.py can measure decision drift
+at TRAINED weights (VERDICT r3 item 3).
 
 Usage: python tools/train_soak.py [steps] [batch] [size]
+Env:   SOAK_TAG=r04 (output suffix), SOAK_LR=3e-4, SOAK_CKPT=soak_ckpt.npz
 """
 
 from __future__ import annotations
@@ -56,7 +60,7 @@ def main() -> None:
 
     cfg = _flagship_cfg()
     cfg.SOLVER.AMP.ENABLED = True
-    cfg.SOLVER.BASE_LR = 1e-4
+    cfg.SOLVER.BASE_LR = float(os.environ.get("SOAK_LR", "3e-4"))
 
     model = maskformer_from_config(cfg)
     rng = np.random.default_rng(0)
@@ -84,7 +88,45 @@ def main() -> None:
         donate=False, amp=True,
     )
 
-    out_path = os.path.join(os.path.dirname(__file__), "..", "SOAK_r03.jsonl")
+    tag = os.environ.get("SOAK_TAG", "r04")
+    out_path = os.path.join(os.path.dirname(__file__), "..",
+                            f"SOAK_{tag}.jsonl")
+
+    # synthetic-eval mIoU on the overfit batch: semantic inference vs the
+    # blob targets' argmax label map (VERDICT r3 item 9's eval curve)
+    from autofocusformermod_tpu.models import semantic_inference
+
+    gt_sem = np.full((batch, size, size), -1, np.int64)
+    cover = masks.sum(1) > 0
+    arg = masks.argmax(1)
+    for b in range(batch):
+        gt_sem[b][cover[b]] = labels[b][arg[b][cover[b]]]
+
+    @jax.jit
+    def eval_miou(params, batch_stats):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            data["image"], train=False,
+        )
+        pm = out["pred_masks"]
+        h, w = pm.shape[-2:]
+        sem = jax.vmap(semantic_inference)(out["pred_logits"], pm)
+        return jnp.argmax(sem, axis=1)
+
+    def miou(params, batch_stats):
+        pred = np.asarray(eval_miou(params, batch_stats))
+        # predictions are at mask-feature resolution; downsample gt
+        sh = size // pred.shape[-1]
+        gt = gt_sem[:, ::sh, ::sh][:, : pred.shape[1], : pred.shape[2]]
+        nc = cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES
+        ious = []
+        for c in np.unique(gt[gt >= 0]):
+            inter = ((pred == c) & (gt == c)).sum()
+            union = (((pred == c) & (gt >= 0)) | (gt == c)).sum()
+            if union:
+                ious.append(inter / union)
+        return float(np.mean(ious)) if ious else 0.0
+
     losses = []
     t0 = time.perf_counter()
     with open(out_path, "w") as f:
@@ -99,11 +141,32 @@ def main() -> None:
                     "loss_dice": float(metrics.get("loss_dice", 0.0)),
                     "elapsed_s": round(time.perf_counter() - t0, 1),
                 }
+                if i % 100 == 0 or i == steps - 1:
+                    rec["synthetic_miou"] = round(
+                        miou(state.params, state.batch_stats), 4)
                 losses.append(rec["total_loss"])
                 f.write(json.dumps(rec) + "\n")
                 f.flush()
                 print(rec, flush=True)
                 assert np.isfinite(rec["total_loss"]), f"NaN at step {i}"
+
+    # save trained weights for the drift tool (flat npz of fp32 arrays)
+    ckpt_path = os.environ.get(
+        "SOAK_CKPT",
+        os.path.join(os.path.dirname(__file__), "..", "soak_ckpt.npz"),
+    )
+    from flax import traverse_util
+
+    flat = {
+        "params/" + "/".join(k): np.asarray(v, np.float32)
+        for k, v in traverse_util.flatten_dict(state.params).items()
+    }
+    flat.update({
+        "batch_stats/" + "/".join(k): np.asarray(v, np.float32)
+        for k, v in traverse_util.flatten_dict(state.batch_stats).items()
+    })
+    np.savez(ckpt_path, **flat)
+    print(f"saved trained weights to {ckpt_path}")
 
     first = np.mean(losses[:3])
     last = np.mean(losses[-3:])
