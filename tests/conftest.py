@@ -50,8 +50,8 @@ def pytest_configure(config):
     )
 
 
-# The `pytest -m smoke` gate: measured ~1.5 min cold on this machine
-# (VERDICT r3 #4 — the tier a driver/judge can run between commits).
+# The `pytest -m smoke` gate: measured 110s cold / ~50s warm-cache on this
+# machine (VERDICT r3 #4 — the tier a driver/judge can run between commits).
 # Explicit nodeid prefixes, not modules: the parent modules' remaining tests
 # are the exhaustive versions of these.
 _SMOKE = (
@@ -65,7 +65,7 @@ _SMOKE = (
     "test_geometry.py::test_point2img_scatter",
     "test_evaluator_protocol.py::test_ap_hand_derived_two_detections",
     "test_evaluator_protocol.py::test_pq_hand_derived",
-    "test_maskformer.py::test_output_structure",
+    "test_smoke_e2e.py",
 )
 
 
