@@ -177,6 +177,10 @@ def set_criterion(
     # steps); the scipy path collapses to one host callback per step.
     layer_keys = []
     costs = []
+    H0, W0 = tgt_masks.shape[-2:]
+    # hoist the (H*W, t) target relayout out of the per-layer loop — the GT
+    # masks are identical across the deep-supervision layers
+    tgt_flat_t = tgt_masks.reshape(b, t, H0 * W0).transpose(0, 2, 1)
     for out in all_outputs:
         key, k_match, k_pts = jax.random.split(key, 3)
         layer_keys.append(k_pts)
@@ -186,7 +190,7 @@ def set_criterion(
                 out["pred_logits"], out["pred_masks"],
                 tgt_labels, tgt_masks, tgt_valid, point_coords,
                 cost_class=class_weight, cost_mask=mask_weight,
-                cost_dice=dice_weight,
+                cost_dice=dice_weight, tgt_flat_t=tgt_flat_t,
             )
         )
     matched_all = [None] * len(all_outputs)

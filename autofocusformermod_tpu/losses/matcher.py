@@ -122,6 +122,7 @@ def matching_cost(
     cost_class: float,
     cost_mask: float,
     cost_dice: float,
+    tgt_flat_t: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """The class+mask+dice assignment cost matrix (matcher.py:96-153).
 
@@ -129,17 +130,25 @@ def matching_cost(
     tgt_labels  - (b, t) int32; tgt_masks - (b, t, H, W); tgt_valid - (b, t)
     point_coords- (b, p, 2) shared random points (same for preds and targets,
                   matcher.py:121)
+    tgt_flat_t  - optional pre-transposed (b, H*W, t) view of tgt_masks so
+                  repeated callers (one per deep-supervision layer) hoist the
+                  relayout; bit-identical to passing tgt_masks alone
     Returns (b, q, t) with invalid target columns at _INVALID_COST.
     """
+    from .point_sample import point_sample_shared_t
+
     b, q = pred_logits.shape[:2]
     t = tgt_labels.shape[1]
+    H, W = tgt_masks.shape[-2:]
+    if tgt_flat_t is None:
+        tgt_flat_t = tgt_masks.reshape(b, t, H * W).transpose(0, 2, 1)
 
-    def per_image(logits, masks, labels, gt_masks, valid, coords):
+    def per_image(logits, masks, labels, gt_t, valid, coords):
         out_prob = jax.nn.softmax(logits, axis=-1)            # (q, nc+1)
         cc = -out_prob[:, labels]                             # (q, t)
 
         out_pts = point_sample_shared(masks, coords)          # (q, p)
-        tgt_pts = point_sample_shared(gt_masks, coords)       # (t, p)
+        tgt_pts = point_sample_shared_t(gt_t, H, W, coords)   # (t, p)
 
         cm = batch_sigmoid_ce_cost(out_pts, tgt_pts)
         cd = batch_dice_cost(out_pts, tgt_pts)
@@ -151,7 +160,7 @@ def matching_cost(
         return jnp.where(valid[None, :], cost, _INVALID_COST)
 
     return jax.vmap(per_image)(
-        pred_logits, pred_masks, tgt_labels, tgt_masks, tgt_valid, point_coords
+        pred_logits, pred_masks, tgt_labels, tgt_flat_t, tgt_valid, point_coords
     )  # (b, q, t)
 
 
@@ -212,6 +221,19 @@ def solve_lsap(cost: jnp.ndarray) -> jnp.ndarray:
     cost = jax.lax.stop_gradient(cost).astype(jnp.float32)
     backend = _resolve_backend()
     if backend == "jv":
+        # single-program Pallas JV when the shapes fit: the XLA while-loop
+        # solver pays a per-iteration dispatch overhead that dominates at
+        # matcher sizes (measured 94 ms of the 135 ms criterion forward for
+        # 40 stacked 100x20 problems); the kernel runs the same lockstep
+        # iterations VMEM-resident (ops/pallas/lapjv_kernel.py)
+        from ..ops.dispatch import fused_attention_available
+        from ..ops.pallas.lapjv_kernel import (
+            lsap_pallas,
+            lsap_pallas_supported,
+        )
+
+        if fused_attention_available() and lsap_pallas_supported(cost):
+            return lsap_pallas(cost)
         return hungarian_lsap(cost)
     if backend == "auction":
         return auction_lsap(cost)

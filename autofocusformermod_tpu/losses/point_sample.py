@@ -68,13 +68,25 @@ def point_sample_shared(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     gathered row is ~m times faster.  This is the matcher's hot path
     (q+t masks x 12544 shared points per image per aux layer)."""
     m, h, w = masks.shape
+    flat_t = masks.reshape(m, h * w).T                     # (h*w, m)
+    return point_sample_shared_t(flat_t, h, w, coords)
+
+
+def point_sample_shared_t(flat_t: jnp.ndarray, h: int, w: int,
+                          coords: jnp.ndarray) -> jnp.ndarray:
+    """``point_sample_shared`` on a PRE-transposed (h*w, m) mask matrix.
+
+    The transpose is a real minor-dim relayout on TPU; callers that sample
+    the same masks repeatedly (the criterion's 10 deep-supervision matcher
+    layers all sample the unchanged GT masks at fresh points) hoist it once
+    instead of paying it per layer."""
+    m = flat_t.shape[1]
     x = coords[:, 0] * w - 0.5
     y = coords[:, 1] * h - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     wx = (x - x0)[:, None]
     wy = (y - y0)[:, None]
-    flat_t = masks.reshape(m, h * w).T                     # (h*w, m)
 
     def tap(xi, yi):
         inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)

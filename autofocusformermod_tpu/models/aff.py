@@ -464,11 +464,16 @@ class AFF(nn.Module):
     use_pallas: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+    def __call__(self, x, train: bool = False,
+                 _profile_upto: Optional[int] = None) -> Dict[str, Any]:
+        """``_profile_upto`` truncates the forward after the given number of
+        stages (0 = patch embed only) — tools/profile_backbone.py only."""
         num_layers = len(self.depths)
         pos_np, feat, h, w = PatchEmbed(
             self.embed_dim[0], self.patch_norm, name="patch_embed"
         )(x, train)
+        if _profile_upto == 0:
+            return {"feat": feat}
         feat = nn.Dropout(self.drop_rate, deterministic=not train)(feat)
         spatial_shape = (h, w)
 
@@ -506,6 +511,9 @@ class AFF(nn.Module):
                 outs[f"res{i + 2}"] = x_out
                 outs[f"res{i + 2}_pos"] = pos_out
                 outs[f"res{i + 2}_spatial_shape"] = spatial_shape
+            if _profile_upto is not None and i + 1 >= _profile_upto:
+                outs["feat"] = feat
+                return outs
         return outs
 
 

@@ -510,9 +510,16 @@ class MSDeformAttnPc(nn.Module):
                         (b, h * n_i * k, 12),
                     ).reshape(b * h, n_i * k, 12)
                 else:
-                    packed = take_rows(nb_packed[j], gather_idx).reshape(
-                        b * h, n_i * k, 12
-                    )
+                    # geometry is constant wrt params (positions are
+                    # integer-selected grid coords, models/aff.py:250-265, and
+                    # the gather indices pass through an int cast) — stop the
+                    # cotangent here or the backward pays 54 dead scatter-adds
+                    # into the (b, hw, 12) tables and onward into the position
+                    # arrays (measured: the pixel-decoder backward dominated
+                    # the train step at 280 ms before this)
+                    packed = jax.lax.stop_gradient(
+                        take_rows(nb_packed[j], gather_idx)
+                    ).reshape(b * h, n_i * k, 12)
                 nb_real = packed[..., 0:4].astype(jnp.int32)
                 nb_x = packed[..., 4:8]
                 nb_y = packed[..., 8:12]
@@ -684,7 +691,9 @@ class MSDeformAttnPc(nn.Module):
                 sl = jnp.round(sl).astype(jnp.int32)
                 gx = jnp.clip(sl[..., 0], 0, grid_hw[1] - 1)
                 gy = jnp.clip(sl[..., 1], 0, grid_hw[0] - 1) * grid_hw[1]
-                packed = take_rows(nb_packed[j], gx + gy)   # (b, nhk, 12)
+                packed = jax.lax.stop_gradient(
+                    take_rows(nb_packed[j], gx + gy)        # (b, nhk, 12)
+                )
                 nb_real = packed[..., 0:4].astype(jnp.int32)
                 nb_x = packed[..., 4:8]
                 nb_y = packed[..., 8:12]
@@ -795,7 +804,11 @@ class MSDeformAttnPixelDecoder(nn.Module):
         # low -> high resolution (res5, res4, res3)
         for idx, f in enumerate(self.transformer_in_features[::-1]):
             x = features[f]                       # compute dtype (bf16 under AMP)
-            pos = features[f + "_pos"].astype(jnp.float32)
+            # positions are non-differentiable geometry (integer grid coords
+            # picked by top-k in the backbone); cut the cotangent chain so
+            # the backward does not drag dead scatter-adds through the sine
+            # embeddings, KNN pack tables, and Shepard weights
+            pos = jax.lax.stop_gradient(features[f + "_pos"]).astype(jnp.float32)
             ss = features[f + "_spatial_shape"]
             xp = nn.Dense(self.conv_dim, name=f"input_proj_{idx}_dense")(x)
             xp = nn.LayerNorm(name=f"input_proj_{idx}_norm")(xp)
@@ -868,7 +881,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
         fpn_poss = []
         for idx, f in enumerate(self.in_features[:num_fpn_levels][::-1]):
             x = features[f]
-            pos = features[f + "_pos"].astype(jnp.float32)
+            pos = jax.lax.stop_gradient(features[f + "_pos"]).astype(jnp.float32)
             ss = features[f + "_spatial_shape"]
             cur_fpn = nn.Dense(self.conv_dim, name=f"adapter_{idx + 1}_dense")(x)
             cur_fpn = nn.LayerNorm(name=f"adapter_{idx + 1}_norm")(cur_fpn)

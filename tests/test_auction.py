@@ -117,3 +117,38 @@ def test_auction_with_padded_invalid_columns():
     rows, cols = linear_sum_assignment(cost[0][:, :6])
     opt = cost[0][rows, cols].sum()
     assert got <= opt + 0.05 * T
+
+
+def test_lsap_pallas_interpret_exact_vs_scipy():
+    """The single-program Pallas JV (ops/pallas/lapjv_kernel.py) reaches the
+    scipy optimum, interpret mode (runs on CPU)."""
+    from autofocusformermod_tpu.ops.pallas.lapjv_kernel import lsap_pallas
+
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        Q, T = 100, int(rng.integers(1, 101))
+        cost = rng.standard_normal((3, Q, T)).astype(np.float32) * 5
+        if seed % 2 == 0:  # matcher-style invalid sentinel columns
+            cost[:, :, T - int(rng.integers(0, T)):] = 1e8
+        a = np.asarray(lsap_pallas(jnp.asarray(cost), interpret=True))
+        for i in range(cost.shape[0]):
+            assert len(set(a[i].tolist())) == T
+            r, c = linear_sum_assignment(np.float64(cost[i]))
+            opt = cost[i][r, c].sum()
+            got = cost[i][a[i], np.arange(T)].sum()
+            assert abs(got - opt) <= 1e-2 * max(1.0, abs(opt) / 1e4), (
+                seed, i, got, opt,
+            )
+
+
+def test_lsap_pallas_interpret_matches_xla_jv():
+    """Same assignments as the XLA hungarian_lsap (same algorithm, same
+    tie-breaking) on matcher-shaped stacked costs."""
+    from autofocusformermod_tpu.ops.pallas.lapjv_kernel import lsap_pallas
+
+    rng = np.random.default_rng(42)
+    cost = rng.standard_normal((8, 100, 20)).astype(np.float32) * 5
+    cost[:, :, 15:] = 1e8
+    a = np.asarray(lsap_pallas(jnp.asarray(cost), interpret=True))
+    b = np.asarray(hungarian_lsap(jnp.asarray(cost)))
+    np.testing.assert_array_equal(a, b)

@@ -33,6 +33,9 @@ def main() -> None:
 
     amp = os.environ.get("PROF_AMP", "1") not in ("0", "false")
     cfg = _flagship_cfg()
+    if amp:
+        # match bench.py: bf16 compute_dtype, not just bf16 params
+        cfg.SOLVER.AMP.ENABLED = True
     model = maskformer_from_config(cfg)
     H = W = 512
     t = 20
