@@ -179,18 +179,32 @@ def set_criterion(
     costs = []
     H0, W0 = tgt_masks.shape[-2:]
     # hoist the (H*W, t) target relayout out of the per-layer loop — the GT
-    # masks are identical across the deep-supervision layers
+    # masks are identical across the deep-supervision layers — and sample the
+    # GT at ALL layers' matching points in one gather (layers folded into the
+    # point axis; bit-identical to per-layer sampling)
+    from .point_sample import point_sample_shared_t
+
     tgt_flat_t = tgt_masks.reshape(b, t, H0 * W0).transpose(0, 2, 1)
-    for out in all_outputs:
+    nl = len(all_outputs)
+    layer_coords = []
+    for _ in all_outputs:
         key, k_match, k_pts = jax.random.split(key, 3)
         layer_keys.append(k_pts)
-        point_coords = jax.random.uniform(k_match, (b, num_points, 2))
+        layer_coords.append(jax.random.uniform(k_match, (b, num_points, 2)))
+    coords_cat = jnp.concatenate(layer_coords, axis=1)    # (b, nl*p, 2)
+    tgt_pts_cat = jax.vmap(
+        lambda gt_t, c: point_sample_shared_t(gt_t, H0, W0, c)
+    )(tgt_flat_t, coords_cat)                             # (b, t, nl*p)
+    for li, out in enumerate(all_outputs):
         costs.append(
             matching_cost(
                 out["pred_logits"], out["pred_masks"],
-                tgt_labels, tgt_masks, tgt_valid, point_coords,
+                tgt_labels, tgt_masks, tgt_valid, layer_coords[li],
                 cost_class=class_weight, cost_mask=mask_weight,
-                cost_dice=dice_weight, tgt_flat_t=tgt_flat_t,
+                cost_dice=dice_weight,
+                tgt_pts=tgt_pts_cat[
+                    :, :, li * num_points : (li + 1) * num_points
+                ],
             )
         )
     matched_all = [None] * len(all_outputs)
@@ -213,6 +227,7 @@ def set_criterion(
     for i, out in enumerate(all_outputs):
         groups.setdefault(out["pred_masks"].shape[-2:], []).append(i)
     for gi, (shape_hw, idxs) in enumerate(sorted(groups.items())):
+        L = len(idxs)
         srcs = []
         for i in idxs:
             pm = all_outputs[i]["pred_masks"]
@@ -220,14 +235,28 @@ def set_criterion(
                 select_matched(pm, matched_all[i]).reshape(b * t, *shape_hw)
             )
         src_flat = jnp.concatenate(srcs, axis=0)          # (L*b*t, h, w)
-        tgt_flat = jnp.broadcast_to(
-            tgt_masks.reshape(1, b * t, H, W),
-            (len(idxs), b * t, H, W),
-        ).reshape(len(idxs) * b * t, H, W).astype(src_flat.dtype)
-        lm, ld = _loss_masks_stacked(
-            layer_keys[idxs[0]], src_flat, tgt_flat, num_points,
-            oversample_ratio, importance_sample_ratio,
+        coords = jax.lax.stop_gradient(
+            _uncertain_coords(
+                layer_keys[idxs[0]], jax.lax.stop_gradient(src_flat),
+                num_points, oversample_ratio, importance_sample_ratio,
+            )
         )
+        # Targets repeat across the L stacked layers (the GT never changes),
+        # so fold the layer axis into the POINT axis and sample the
+        # unrepeated (b*t, H, W) stack once — same values as sampling an
+        # L-fold broadcast, from a source L x smaller.
+        ct = (coords.reshape(L, b * t, num_points, 2)
+              .transpose(1, 0, 2, 3).reshape(b * t, L * num_points, 2))
+        pl_t = point_sample_auto(
+            tgt_masks.reshape(b * t, H, W).astype(src_flat.dtype), ct
+        )
+        point_labels = jax.lax.stop_gradient(
+            pl_t.reshape(b * t, L, num_points)
+            .transpose(1, 0, 2).reshape(L * b * t, num_points)
+        )
+        point_logits = point_sample_auto(src_flat, coords)
+        lm = sigmoid_ce_loss(point_logits, point_labels)
+        ld = dice_loss(point_logits, point_labels)
         vf = tgt_valid.reshape(1, b * t).astype(lm.dtype)
         lm_per = jnp.sum(lm.reshape(len(idxs), b * t) * vf, axis=1) / num_masks
         ld_per = jnp.sum(ld.reshape(len(idxs), b * t) * vf, axis=1) / num_masks

@@ -123,6 +123,7 @@ def matching_cost(
     cost_mask: float,
     cost_dice: float,
     tgt_flat_t: jnp.ndarray = None,
+    tgt_pts: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """The class+mask+dice assignment cost matrix (matcher.py:96-153).
 
@@ -133,6 +134,9 @@ def matching_cost(
     tgt_flat_t  - optional pre-transposed (b, H*W, t) view of tgt_masks so
                   repeated callers (one per deep-supervision layer) hoist the
                   relayout; bit-identical to passing tgt_masks alone
+    tgt_pts     - optional pre-sampled GT point values (b, t, p) at exactly
+                  ``point_coords`` (callers batching the target sampling
+                  across layers); bit-identical to sampling here
     Returns (b, q, t) with invalid target columns at _INVALID_COST.
     """
     from .point_sample import point_sample_shared_t
@@ -140,15 +144,19 @@ def matching_cost(
     b, q = pred_logits.shape[:2]
     t = tgt_labels.shape[1]
     H, W = tgt_masks.shape[-2:]
-    if tgt_flat_t is None:
-        tgt_flat_t = tgt_masks.reshape(b, t, H * W).transpose(0, 2, 1)
+    if tgt_pts is None:
+        if tgt_flat_t is None:
+            tgt_flat_t = tgt_masks.reshape(b, t, H * W).transpose(0, 2, 1)
+        tgt_pts = jax.vmap(
+            lambda gt_t, coords: point_sample_shared_t(gt_t, H, W, coords)
+        )(tgt_flat_t, point_coords)
 
-    def per_image(logits, masks, labels, gt_t, valid, coords):
+    def per_image(logits, masks, labels, gt_pts, valid, coords):
         out_prob = jax.nn.softmax(logits, axis=-1)            # (q, nc+1)
         cc = -out_prob[:, labels]                             # (q, t)
 
         out_pts = point_sample_shared(masks, coords)          # (q, p)
-        tgt_pts = point_sample_shared_t(gt_t, H, W, coords)   # (t, p)
+        tgt_pts = gt_pts                                      # (t, p)
 
         cm = batch_sigmoid_ce_cost(out_pts, tgt_pts)
         cd = batch_dice_cost(out_pts, tgt_pts)
@@ -160,7 +168,7 @@ def matching_cost(
         return jnp.where(valid[None, :], cost, _INVALID_COST)
 
     return jax.vmap(per_image)(
-        pred_logits, pred_masks, tgt_labels, tgt_flat_t, tgt_valid, point_coords
+        pred_logits, pred_masks, tgt_labels, tgt_pts, tgt_valid, point_coords
     )  # (b, q, t)
 
 

@@ -131,6 +131,21 @@ def calculate_uncertainty(logits: jnp.ndarray) -> jnp.ndarray:
 # nn_ranked); module switch so tests can pin the i.i.d. reference draw.
 STRATIFY_RANKING = True
 
+# Stratified top-k for the uncertainty ranking on TPU: lax.top_k lowers to a
+# full (n, 3*num_points) sort — 25 ms of the criterion forward at flagship
+# shapes — and approx_max_k degenerates to the same sort at k/n = 25%
+# (measured: ApproxTopK with aggregate_to_topk still sorts the aggregate).
+# When the candidates are y-stratified (STRATIFY_RANKING) the selection
+# becomes top-(k/chunks) WITHIN each 128-candidate chunk: tiny lane-wide
+# sorts instead of one 37632-wide sort.  Selection drift vs the reference's
+# global top-k: a stratum's winners are capped at k/chunks, so rows whose
+# uncertainty mass concentrates in one image band trade a few borderline
+# picks for random ones elsewhere — the same character as the stratification
+# itself (selection-only randomness; supervision stays continuous), and the
+# cap adds spatial coverage.  Module switch so tests can pin the exact
+# global ranking.
+STRATIFIED_TOPK = True
+
 
 def _counter_uniform(seed: jnp.ndarray, ctr: jnp.ndarray) -> jnp.ndarray:
     """Stateless uniform in [0, 1) from a uint32 counter (murmur3 finalizer).
@@ -248,7 +263,15 @@ def get_uncertain_point_coords_nn_ranked(
 
     num_uncertain = int(importance_sample_ratio * num_points)
     num_random = num_points - num_uncertain
-    _, idx = jax.lax.top_k(unc, num_uncertain)
+    if (STRATIFIED_TOPK and stratified and num_uncertain % chunks == 0):
+        k_per = num_uncertain // chunks
+        _, loc = jax.lax.top_k(unc.reshape(n * chunks, 128), k_per)
+        idx = (
+            loc.reshape(n, chunks, k_per)
+            + (jnp.arange(chunks, dtype=jnp.int32) * 128)[None, :, None]
+        ).reshape(n, num_uncertain)
+    else:
+        _, idx = jax.lax.top_k(unc, num_uncertain)
     # Recompute the winners from their counters — no (n, k, 2) row gather.
     ctr_pick = ctr[:, :1] + idx.astype(jnp.uint32)
     picked = jnp.stack(

@@ -923,6 +923,133 @@ def _bwd_kernel_v8(idx_ref, w_ref, val_ref, g_ref, dval_ref, dw_ref, *,
         off += nj
 
 
+def _bwd_kernel_v10(idx_ref, w_ref, val_ref, g_ref, dval_ref, dw_ref, *,
+                    level_sizes, pairs_per_level, n_pad, two_tier=False,
+                    bf16_dots=True):
+    """v9 with the band loop's MXU dots on explicit bf16 operands: a single
+    MXU pass instead of the f32 multi-pass decomposition, accumulating in
+    f32 via preferred_element_type (w_band entries are shepard*attn products
+    in [0, 1] — bf16 rounding is ~2^-8 relative, inside the kernel's
+    budgeted-parity bounds).  The (BQ, P, 128) select+reduce stays f32:
+    Mosaic rejects both bf16 minor-dim insertion and broadcasting a narrowed
+    (BQ, P, 1) bf16 against the i1 mask.
+
+    ``two_tier`` adds a narrow first window (expected spread + 2 bands)
+    before the standard slack-8 window and the exact full-width fallback —
+    blocks with tight spread (the common case in the microbench's jitter
+    model) skip ~7 dynamic bands; real-model spread decides end to end.
+    """
+    q_step = pl.program_id(1)
+    bq = idx_ref.shape[1]
+    p = pairs_per_level
+    g = g_ref[0]                                           # (BQ, c_)
+    g16 = g.astype(jnp.bfloat16) if bf16_dots else g
+
+    @pl.when(q_step == 0)
+    def _():
+        dval_ref[0] = jnp.zeros_like(dval_ref[0])
+
+    off = 0
+    for j, nj in enumerate(level_sizes):
+        hi_n = nj // 128
+        kw_exp = -(-bq * nj // n_pad) // 128
+        kw = kw_exp + _WINDOW_SLACK
+        if kw > hi_n // 2:
+            kw = hi_n
+        kw1 = min(kw_exp + 2, kw)
+        idx_j = idx_ref[0, :, j, :] - off                  # (BQ, P) local
+        w_j = w_ref[0, :, j, :]
+        hi = idx_j // 128
+        lo = idx_j - hi * 128
+        lo_match = (
+            lo[:, :, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (bq, p, 128), 2)
+        )
+        hi_b = hi[:, :, None]
+        band0 = off // 128
+        lo_pad = jnp.pad(lo, ((0, 0), (0, 128 - p)))       # (BQ, 128)
+
+        def _bands(tok_starts, band_idxs, hi_vals):
+            dwa = jnp.zeros((bq, p), jnp.float32)
+            for start, band, hval in zip(tok_starts, band_idxs, hi_vals):
+                sel = lo_match & (hi_b == hval)
+                # the select+reduce stays f32 (Mosaic cannot broadcast a
+                # narrowed (BQ, P, 1) bf16 against the i1 mask — measured
+                # compile failures, see git history)
+                w_band = jnp.sum(
+                    jnp.where(sel, w_j[:, :, None], 0.0), axis=1
+                )                                          # (BQ, 128)
+                if bf16_dots:
+                    w_band = w_band.astype(jnp.bfloat16)
+                dval_ref[0, pl.dslice(start, 128), :] += (
+                    jax.lax.dot_general(
+                        w_band, g16, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )                                          # (128, c_)
+                vb = val_ref[0, pl.dslice(start, 128), :]
+                if bf16_dots:
+                    vb = vb.astype(jnp.bfloat16)
+                m = jax.lax.dot_general(
+                    g16, vb, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                          # (BQ, 128)
+                got = jnp.take_along_axis(m, lo_pad, axis=1)[:, :p]
+                dwa = dwa + jnp.where(hi == hval, got, 0.0)
+            return dwa
+
+        if hi_n <= kw:
+            dw_ref[0, :, j, :] = _bands(
+                [off + i * 128 for i in range(hi_n)],
+                [band0 + i for i in range(hi_n)],
+                list(range(hi_n)),
+            )
+            off += nj
+            continue
+
+        base = jnp.min(hi)
+        spread = jnp.max(hi) - base
+        dw_ref[0, :, j, :] = jnp.zeros((bq, p), jnp.float32)
+
+        def _tier(width, base=base, off=off, band0=band0):
+            dw_ref[0, :, j, :] = _bands(
+                [off + (base + i) * 128 for i in range(width)],
+                [band0 + base + i for i in range(width)],
+                [base + i for i in range(width)],
+            )
+
+        if two_tier and kw1 < kw:
+            @pl.when(spread < kw1)
+            def _t1():
+                _tier(kw1)
+
+            @pl.when((spread >= kw1) & (spread < kw))
+            def _t2():
+                _tier(kw)
+
+            @pl.when(spread >= kw)
+            def _full(off=off, band0=band0, hi_n=hi_n):
+                dw_ref[0, :, j, :] = _bands(
+                    [off + i * 128 for i in range(hi_n)],
+                    [band0 + i for i in range(hi_n)],
+                    list(range(hi_n)),
+                )
+        else:
+            @pl.when(spread < kw)
+            def _fast():
+                _tier(kw)
+
+            @pl.when(spread >= kw)
+            def _full2(off=off, band0=band0, hi_n=hi_n):
+                dw_ref[0, :, j, :] = _bands(
+                    [off + i * 128 for i in range(hi_n)],
+                    [band0 + i for i in range(hi_n)],
+                    list(range(hi_n)),
+                )
+
+        off += nj
+
+
 def _pad_to(x, mult, axis, value=0):
     pad = (-x.shape[axis]) % mult
     if pad == 0:
@@ -1110,6 +1237,14 @@ def _bwd_kernel_by_version(version: int, level_sizes, pairs: int,
             _bwd_kernel_v8, level_sizes=tuple(level_sizes),
             pairs_per_level=pairs, n_pad=n_pad, dval_t=(version == 8),
         )
+    # NOTE: bwd version 12 is the head-natural-layout kernel
+    # (_bwd_kernel_v12, bh path only) — not reachable from here.
+    if version in (10, 11, 13):
+        return functools.partial(
+            _bwd_kernel_v10, level_sizes=tuple(level_sizes),
+            pairs_per_level=pairs, n_pad=n_pad, two_tier=(version != 10),
+            bf16_dots=(version != 13),
+        )
     return functools.partial(
         _bwd_kernel_v2, level_sizes=tuple(level_sizes), pairs_per_level=pairs,
         bf16_dots=(version == 3),
@@ -1130,7 +1265,17 @@ def _bwd_kernel_by_version(version: int, level_sizes, pairs: int,
 # row-stratified nearest kernel.  Transposing the dval accumulation to fill
 # all 128 output lanes (v8 vs v9) measures slightly NEGATIVE — the
 # (c_,128) banded writes relayout worse than the narrow dot they fix.
-BWD_VERSION = 9
+#   v10 (bf16 band dots)                                    23.6  — REGRESSION:
+#       with --xla_allow_excess_precision the f32 dots were already single
+#       MXU passes; the casts are pure overhead.  Kept for the record.
+#   v11 (two-tier window + bf16 dots)                       19.6
+#   v13 (two-tier window, f32 dots)                         18.9  — DEFAULT
+# Two-tier windowing: a narrow first window (expected spread + 2 bands)
+# handles tight blocks, v9's slack-8 window is the middle rung, full width
+# stays the exact fallback — so unlike the r3 slack sweep (which removed the
+# middle rung and regressed end to end on real spreads) the worst case per
+# block is one extra scalar branch.
+BWD_VERSION = 13
 
 
 def _run_bwd_kernel(idx, wr, val_f, g_f, level_sizes, pairs, n_pad,

@@ -59,13 +59,14 @@ def test_msdetrpc_pallas_v2_interpret_exact():
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("version", [1, 2, 4, 6, 7, 8, 9])
+@pytest.mark.parametrize("version", [1, 2, 4, 6, 7, 8, 9, 13])
 def test_msdetrpc_pallas_bwd_interpret_exact(version):
     """VJP kernel variants (v1 batched-dot extraction; v2 per-band masked
     reduce; v4/v6 windowed with full-width fallback; v7 windowed with
     dense-score d_w + transposed dval accumulation; v8/v9 dense-score d_w
-    via lane-gather extraction, with/without transposed dval) exact in
-    fp32 interpret mode against the XLA composition's autodiff."""
+    via lane-gather extraction, with/without transposed dval; v13 = v9 with
+    two-tier band windowing, the default) exact in fp32 interpret mode
+    against the XLA composition's autodiff."""
     from autofocusformermod_tpu.ops.clusten import msdetrpc
     from autofocusformermod_tpu.ops.pallas.msdetrpc_kernel import (
         msdetrpc_pallas_bwd_impl,
