@@ -67,6 +67,15 @@ BLOCK_Q = 128
 BLOCK_K = 128
 _NEG = -1e30
 _PREC = jax.lax.Precision.HIGHEST
+# In-kernel dot precision: HIGH = the bf16x3 decomposition (~2^-21 relative,
+# indistinguishable from f32 at attention tolerances) at half the MXU passes
+# of HIGHEST's bf16x6 — the kernels were MXU-pass-bound at c_=16 (stage 1).
+# Env override for A/B: AFF_ATTN_PREC=highest|high|default.
+_PREC_K = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}[__import__("os").environ.get("AFF_ATTN_PREC", "high").strip().lower()]
 
 
 def _kernel(
@@ -139,7 +148,7 @@ def _kernel(
             vb = vt_ref[0, hid, :, pl.ds(cb * BLOCK_K, BLOCK_K)]
             s = jax.lax.dot_general(
                 qs[hid], kb, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_PREC,
+                preferred_element_type=jnp.float32, precision=_PREC_K,
             )                                                    # (BQ, BK)
             s = s + (dx * w5_ref[hid, 0] + dy * w5_ref[hid, 1]
                      + dist * w5_ref[hid, 2] + sin * w5_ref[hid, 3]
@@ -152,7 +161,7 @@ def _kernel(
             l_new = l_run * alpha + jnp.sum(p, axis=1, keepdims=True)
             acc = acc * alpha + jax.lax.dot_general(
                 p, vb, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_PREC,
+                preferred_element_type=jnp.float32, precision=_PREC_K,
             )
             new_carry += [m_new, l_new, acc]
         return tuple(new_carry)
@@ -252,7 +261,7 @@ def _bwd_dq_kernel(
 
             s = jax.lax.dot_general(
                 qs[hid], kb, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_PREC,
+                preferred_element_type=jnp.float32, precision=_PREC_K,
             )
             s = s + (dx * w5_ref[hid, 0] + dy * w5_ref[hid, 1]
                      + dist * w5_ref[hid, 2] + sin * w5_ref[hid, 3]
@@ -261,12 +270,12 @@ def _bwd_dq_kernel(
             p = jnp.where(allowed, jnp.exp(s - lses[hid]), 0.0)   # (BQ, BK)
             gv = jax.lax.dot_general(
                 gs[hid], vb, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_PREC,
+                preferred_element_type=jnp.float32, precision=_PREC_K,
             )
             ds = p * (gv - deltas[hid])
             dq_acc = dq_acc + jax.lax.dot_general(
                 ds, kb, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_PREC,
+                preferred_element_type=jnp.float32, precision=_PREC_K,
             )
             new_carry.append(dq_acc)
             new_carry += [
@@ -354,7 +363,7 @@ def _bwd_dkv_kernel(
 
             s = jax.lax.dot_general(
                 q_r, kbs[hid], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_PREC,
+                preferred_element_type=jnp.float32, precision=_PREC_K,
             )                                             # (BQ, BK)
             s = s + (dx * w5_ref[hid, 0] + dy * w5_ref[hid, 1]
                      + dist * w5_ref[hid, 2] + sin * w5_ref[hid, 3]
@@ -363,16 +372,16 @@ def _bwd_dkv_kernel(
             p = jnp.where(allowed, jnp.exp(s - lse_r), 0.0)
             dv_acc = dv_acc + jax.lax.dot_general(
                 g_r, p, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_PREC,
+                preferred_element_type=jnp.float32, precision=_PREC_K,
             )                                             # (c_, BK)
             gv = jax.lax.dot_general(
                 g_r, vbs[hid], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_PREC,
+                preferred_element_type=jnp.float32, precision=_PREC_K,
             )                                             # (BQ, BK)
             ds = p * (gv - delta_r)
             dk_acc = dk_acc + jax.lax.dot_general(
                 q_r, ds, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_PREC,
+                preferred_element_type=jnp.float32, precision=_PREC_K,
             )
             new_carry += [dk_acc, dv_acc]
         return tuple(new_carry)

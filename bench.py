@@ -276,6 +276,60 @@ PROFILE_R03 = {
 }
 
 
+# r4 op-level device profile (tools/trace_ops.py — per-HLO-instruction
+# events from jax.profiler on the real chip; AFF-Mini 512x512 batch 4 bf16).
+# This is the VERDICT-r3 #1 artifact: the full train step attributed
+# including the backward, from instruction timings rather than program
+# differencing.  Leads it produced this round: Pallas JV matcher solve
+# (94 -> 0.2 ms), stratified ranking top-k (kills the 24.8 ms sort),
+# two-tier backward windows (bwd kernel 21.8 -> 18.9 ms/layer isolated).
+PROFILE_R04 = {
+    "train_step_ms_total": 641.2,
+    "train_step_breakdown_ms": {
+        "msdetrpc_bwd_kernels": 117.8,
+        "msdetrpc_fwd_kernels": 24.6,
+        "backbone_attention_kernels_fwd_bwd": 83.3,
+        "criterion": {
+            "target_point_sample_kernel": 43.4,
+            "uncertainty_topk_sort_pre_fix": 24.8,
+            "pred_point_sample_kernel": 22.4,
+            "pred_mask_layout_transpose_in_bwd": 21.5,
+            "matcher_target_gathers_batched": 16.0,
+            "matcher_pred_gathers": 21.3,
+            "lsap_pallas": 0.2,
+        },
+        "packed_table_gather_complex": 53.0,
+        "pixel_decoder_table_knn": 8.1,
+        "rest_dense_fusions_copies_optimizer": "remainder",
+    },
+    "value_and_grad_ms": {
+        "total": 487.9,
+        "backbone_fwd_bwd": 149.3,
+        "pixel_decoder_fwd_bwd": 313.3,
+        "mask_decoder_fwd_bwd": 25.3,
+    },
+    "forward_ms": {
+        "total": 142.3,
+        "msdetrpc_kernels": 24.7,
+        "packed_table_gathers_plus_layout": 30.0,
+        "backbone_attention_kernels": 20.6,
+        "table_knn": 8.7,
+        "sfc_sort_gathers": 12.0,
+    },
+    "note": (
+        "stage-1 backbone attention (n=16384, h=2, c_=16) is 55 of the 83 "
+        "ms attention total: block-sparse visit bounds average 11 col-"
+        "blocks/row-block vs 7.9 distinct (SFC discontinuities widen the "
+        "contiguous range) and the dots ran bf16x6 (Precision.HIGHEST); "
+        "in-kernel dots now run bf16x3 (HIGH).  Next leads: exact visit "
+        "lists for the trace-time-constant stage-1 clustering, the 21.5 ms "
+        "pred-mask relayout in the criterion backward, and the msdetrpc "
+        "backward's VPU select+reduce scatter (Mosaic rejects narrowing it "
+        "to bf16)."
+    ),
+}
+
+
 def _full_details(primary_ips, batch, iters, warmup):
     import jax
 
@@ -284,6 +338,7 @@ def _full_details(primary_ips, batch, iters, warmup):
     details = {
         "device": str(jax.devices()[0]),
         "profile_r03": PROFILE_R03,
+        "profile_r04": PROFILE_R04,
         "aff_mini_infer_512": {
             "images_per_sec_chip": round(primary_ips, 3),
             "achieved_tflops": round(primary_ips * GFLOPS_PER_IMG["aff_mini"] / 1e3, 3),
