@@ -78,9 +78,84 @@ _PREC_K = {
 }[__import__("os").environ.get("AFF_ATTN_PREC", "high").strip().lower()]
 
 
+class VisitLists:
+    """Static per-row-block col-block visit lists (and the reverse) for the
+    block-sparse sweep, built from a TRACE-TIME-CONSTANT clustering.
+
+    The contiguous [lo, hi] bounds visit every col-block between the min and
+    max neighbor cluster of a row-block; on an SFC the 2-D neighbors above/
+    below sit O(sqrt(n)/m) clusters away in curve order, so the range spans
+    blocks that contain no neighbors at all (stage 1 at 512x512: mean 11.0
+    contiguous vs 7.9 distinct).  When the clustering is concrete at trace
+    time (stage 1: tokens on the constant pixel grid), the exact distinct
+    lists are static data — the kernels then iterate fori(0, cnt) and remap
+    through the list, skipping the empty blocks with zero per-step cost.
+
+    Hashable by content so it can ride a custom_vjp nondiff argnum (which
+    also makes the lists available to the backward kernels — residual-passed
+    arrays arrive as tracers there)."""
+
+    def __init__(self, nc0: np.ndarray, cluster_size: int, n: int):
+        nb = n // BLOCK_Q
+        nbk = n // BLOCK_K
+        nnc = nc0.shape[-1]
+        ids = np.asarray(nc0).reshape(nb, BLOCK_Q * nnc)
+        starts = ids * cluster_size // BLOCK_K
+        ends = (ids * cluster_size + cluster_size - 1) // BLOCK_K
+        lists = [
+            np.unique(np.concatenate([starts[rb], ends[rb]]))
+            for rb in range(nb)
+        ]
+        cnt = np.asarray([len(s) for s in lists], np.int32)
+        blk = np.zeros((nb, int(cnt.max())), np.int32)
+        for rb, s in enumerate(lists):
+            blk[rb, : len(s)] = s
+        rlists = [
+            np.nonzero([cb in set(s.tolist()) for s in lists])[0]
+            for cb in range(nbk)
+        ]
+        rcnt = np.asarray([len(s) for s in rlists], np.int32)
+        rblk = np.zeros((nbk, max(int(rcnt.max()), 1)), np.int32)
+        for cb, s in enumerate(rlists):
+            rblk[cb, : len(s)] = s
+        self.blk, self.cnt = blk, cnt
+        self.rblk, self.rcnt = rblk, rcnt
+        self._key = (blk.tobytes(), cnt.tobytes(), cluster_size, n)
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, VisitLists) and self._key == other._key
+
+
+def _maybe_visit_lists(nc, cluster_size: int, n: int):
+    """VisitLists when nc is a trace-time constant identical across batch
+    (the stage-1 grid clustering), else None.  Cached by array identity —
+    the builder is a trace-time numpy pass."""
+    if isinstance(nc, jax.core.Tracer):
+        return None
+    nc_np = np.asarray(nc)
+    if nc_np.ndim == 3 and nc_np.shape[0] > 1:
+        if not np.all(nc_np == nc_np[:1]):
+            return None
+    key = (nc_np.shape, nc_np[0].tobytes() if nc_np.ndim == 3 else nc_np.tobytes(),
+           cluster_size, n)
+    hit = _VISIT_CACHE.get(key)
+    if hit is None:
+        hit = VisitLists(nc_np[0] if nc_np.ndim == 3 else nc_np,
+                         cluster_size, n)
+        _VISIT_CACHE[key] = hit
+    return hit
+
+
+_VISIT_CACHE: dict = {}
+
+
 def _kernel(
     lo_ref,      # SMEM (b, nb)  first col-block to visit per row-block
     hi_ref,      # SMEM (b, nb)  last col-block (inclusive)
+    blk_ref,     # SMEM (nb, maxv) static visit lists (use_list only)
     q_ref,       # (1, h, BQ, c_)
     kt_ref,      # (1, h, c_, n)   token-last
     vt_ref,      # (1, h, c_, n)
@@ -96,6 +171,7 @@ def _kernel(
     *,
     cluster_size: int,
     n_heads: int,
+    use_list: bool = False,
 ):
     """ALL HEADS of one (batch, row-block) per program: the rel-pos geometry
     (clip/sqrt/div, ~15 VPU passes per tile) and the nnc-way neighborhood
@@ -117,7 +193,8 @@ def _kernel(
     lo = lo_ref[bi, nbi]
     hi = hi_ref[bi, nbi]
 
-    def body(cb, carry):
+    def body(it, carry):
+        cb = blk_ref[nbi, it] if use_list else it
         posk_x = post_ref[0, 0:1, pl.ds(cb * BLOCK_K, BLOCK_K)]  # (1, BK)
         posk_y = post_ref[0, 1:2, pl.ds(cb * BLOCK_K, BLOCK_K)]
 
@@ -197,6 +274,7 @@ def _kernel(
 def _bwd_dq_kernel(
     lo_ref,      # SMEM (b, nb)
     hi_ref,      # SMEM (b, nb)
+    blk_ref,     # SMEM (nb, maxv) static visit lists (use_list only)
     q_ref,       # (1, 1, BQ, c_)
     kt_ref,      # (1, 1, c_, n)
     vt_ref,      # (1, 1, c_, n)
@@ -212,6 +290,7 @@ def _bwd_dq_kernel(
     drow_ref,    # (1, 1, BQ, 8)    per-row [sum ds*feat_f x5, sum ds, 0, 0]
     *,
     cluster_size: int,
+    use_list: bool = False,
 ):
     bq = q_ref.shape[2]
     c_ = q_ref.shape[3]
@@ -230,7 +309,8 @@ def _bwd_dq_kernel(
     lo = lo_ref[bi, nbi]
     hi = hi_ref[bi, nbi]
 
-    def body(cb, carry):
+    def body(it, carry):
+        cb = blk_ref[nbi, it] if use_list else it
         posk_x = post_ref[0, 0:1, pl.ds(cb * BLOCK_K, BLOCK_K)]
         posk_y = post_ref[0, 1:2, pl.ds(cb * BLOCK_K, BLOCK_K)]
 
@@ -300,6 +380,7 @@ def _bwd_dq_kernel(
 def _bwd_dkv_kernel(
     rlo_ref,     # SMEM (b, nbk)  first row-block visiting this col-block
     rhi_ref,     # SMEM (b, nbk)  last (inclusive; rlo > rhi -> none)
+    rblk_ref,    # SMEM (nbk, maxr) static reverse visit lists (use_list)
     qt_ref,      # (1, 1, c_, n)   token-last (token-first (n, c_) would
     kb_ref,      # (1, 1, c_, BK)   lane-pad c_=16 up to 128: 8x VMEM)
     vb_ref,      # (1, 1, c_, BK)
@@ -314,6 +395,7 @@ def _bwd_dkv_kernel(
     dv_ref,      # (1, 1, c_, BK)
     *,
     cluster_size: int,
+    use_list: bool = False,
 ):
     c_ = qt_ref.shape[2]
     bk = kb_ref.shape[3]
@@ -334,7 +416,8 @@ def _bwd_dkv_kernel(
     rlo = rlo_ref[bi, cbi]
     rhi = rhi_ref[bi, cbi]
 
-    def body(rb, carry):
+    def body(it, carry):
+        rb = rblk_ref[cbi, it] if use_list else it
         row = pl.ds(rb * BLOCK_Q, BLOCK_Q)
         posq_x = post_ref[0, 0:1, row].reshape(BLOCK_Q, 1)
         posq_y = post_ref[0, 1:2, row].reshape(BLOCK_Q, 1)
@@ -395,16 +478,23 @@ def _bwd_dkv_kernel(
 
 
 def _sfc_attention_forward(
-    q, k, v, pos, nc, w5, b5, blank_k, cluster_size: int
+    q, k, v, pos, nc, w5, b5, blank_k, cluster_size: int, visit=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     b, h, n, c_ = q.shape
     nnc = nc.shape[-1]
     assert n % BLOCK_Q == 0 and n % BLOCK_K == 0, n
     nb = n // BLOCK_Q
 
-    # visitation bounds per (b, row-block): col-blocks covering the min..max
-    # neighbor cluster id of the row-block's tokens (SFC locality -> narrow)
-    lo, hi = _visit_bounds(nc, b, nb, cluster_size)
+    if visit is not None:
+        # static visit lists: iterate 0..cnt-1 and remap through the list
+        lo = jnp.zeros((b, nb), jnp.int32)
+        hi = jnp.broadcast_to(jnp.asarray(visit.cnt - 1), (b, nb))
+        blk = jnp.asarray(visit.blk)
+    else:
+        # visitation bounds per (b, row-block): col-blocks covering the
+        # min..max neighbor cluster id of the row-block's tokens
+        lo, hi = _visit_bounds(nc, b, nb, cluster_size)
+        blk = jnp.zeros((nb, 1), jnp.int32)
 
     pos_t = pos.astype(jnp.float32).transpose(0, 2, 1)      # (b, 2, n)
     nc_t = nc.transpose(0, 2, 1)                            # (b, nnc, n)
@@ -412,11 +502,13 @@ def _sfc_attention_forward(
     vt = v.transpose(0, 1, 3, 2)
 
     grid = (b, nb)
-    kernel = functools.partial(_kernel, cluster_size=cluster_size, n_heads=h)
+    kernel = functools.partial(_kernel, cluster_size=cluster_size, n_heads=h,
+                               use_list=visit is not None)
     out, blank, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, h, BLOCK_Q, c_), lambda bi, nbi: (bi, 0, nbi, 0)),
@@ -442,7 +534,8 @@ def _sfc_attention_forward(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
-    )(lo, hi, q, kt, vt, pos_t, pos_t, nc_t, w5, b5.reshape(h, 1), blank_k)
+    )(lo, hi, blk, q, kt, vt, pos_t, pos_t, nc_t, w5, b5.reshape(h, 1),
+      blank_k)
     return out, blank, lse
 
 
@@ -487,20 +580,34 @@ def _visit_bounds(nc, b, nb, cluster_size):
 
 
 def _sfc_attention_backward(q, k, v, pos, nc, w5, b5, blank_k, out, blank,
-                            lse, g, gb, cluster_size):
+                            lse, g, gb, cluster_size, visit=None):
     b, h, n, c_ = q.shape
     nnc = nc.shape[-1]
     nb = n // BLOCK_Q
     nbk = n // BLOCK_K
-    lo, hi = _visit_bounds(nc, b, nb, cluster_size)
+    if visit is not None:
+        lo = jnp.zeros((b, nb), jnp.int32)
+        hi = jnp.broadcast_to(jnp.asarray(visit.cnt - 1), (b, nb))
+        blk = jnp.asarray(visit.blk)
+        rlo = jnp.zeros((b, nbk), jnp.int32)
+        rhi = jnp.broadcast_to(jnp.asarray(visit.rcnt - 1), (b, nbk))
+        rblk = jnp.asarray(visit.rblk)
+    else:
+        lo, hi = _visit_bounds(nc, b, nb, cluster_size)
+        blk = jnp.zeros((nb, 1), jnp.int32)
+        rblk = jnp.zeros((nbk, 1), jnp.int32)
 
-    # reverse bounds: row-blocks whose [lo, hi] range covers col-block cb
-    nbi = jnp.arange(nb, dtype=jnp.int32)
-    cb = jnp.arange(nbk, dtype=jnp.int32)
-    covers_lo = hi[:, :, None] >= cb[None, None, :]        # (b, nb, nbk)
-    covers_hi = lo[:, :, None] <= cb[None, None, :]
-    rlo = jnp.min(jnp.where(covers_lo, nbi[None, :, None], nb), axis=1).astype(jnp.int32)
-    rhi = jnp.max(jnp.where(covers_hi, nbi[None, :, None], -1), axis=1).astype(jnp.int32)
+        # reverse bounds: row-blocks whose [lo, hi] covers col-block cb
+        nbi = jnp.arange(nb, dtype=jnp.int32)
+        cb = jnp.arange(nbk, dtype=jnp.int32)
+        covers_lo = hi[:, :, None] >= cb[None, None, :]    # (b, nb, nbk)
+        covers_hi = lo[:, :, None] <= cb[None, None, :]
+        rlo = jnp.min(
+            jnp.where(covers_lo, nbi[None, :, None], nb), axis=1
+        ).astype(jnp.int32)
+        rhi = jnp.max(
+            jnp.where(covers_hi, nbi[None, :, None], -1), axis=1
+        ).astype(jnp.int32)
 
     g = g.astype(jnp.float32)
     gb = gb.astype(jnp.float32)
@@ -514,11 +621,13 @@ def _sfc_attention_backward(q, k, v, pos, nc, w5, b5, blank_k, out, blank,
     vt = v.transpose(0, 1, 3, 2)
     b5r = b5.reshape(h, 1)
 
-    kernel = functools.partial(_bwd_dq_kernel, cluster_size=cluster_size)
+    kernel = functools.partial(_bwd_dq_kernel, cluster_size=cluster_size,
+                               use_list=visit is not None)
     dq, drow = pl.pallas_call(
         kernel,
         grid=(b, nb),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, h, BLOCK_Q, c_), lambda bi, nbi: (bi, 0, nbi, 0)),
@@ -544,9 +653,10 @@ def _sfc_attention_backward(q, k, v, pos, nc, w5, b5, blank_k, out, blank,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
-    )(lo, hi, q, kt, vt, pos_t, pos_t, nc_t, w5, b5r, g, lse, delta)
+    )(lo, hi, blk, q, kt, vt, pos_t, pos_t, nc_t, w5, b5r, g, lse, delta)
 
-    kernel2 = functools.partial(_bwd_dkv_kernel, cluster_size=cluster_size)
+    kernel2 = functools.partial(_bwd_dkv_kernel, cluster_size=cluster_size,
+                                use_list=visit is not None)
     qt = q.transpose(0, 1, 3, 2)                           # (b, h, c_, n)
     gt = g.transpose(0, 1, 3, 2)
     lse_t = lse.transpose(0, 1, 3, 2)                      # (b, h, 1, n)
@@ -555,6 +665,7 @@ def _sfc_attention_backward(q, k, v, pos, nc, w5, b5, blank_k, out, blank,
         kernel2,
         grid=(b, nbk),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, h, c_, n), lambda bi, cbi: (bi, 0, 0, 0)),
@@ -579,7 +690,7 @@ def _sfc_attention_backward(q, k, v, pos, nc, w5, b5, blank_k, out, blank,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
-    )(rlo, rhi, qt, kt, vt, pos_t, nc_t, w5, b5r, gt, lse_t, delta_t)
+    )(rlo, rhi, rblk, qt, kt, vt, pos_t, nc_t, w5, b5r, gt, lse_t, delta_t)
     dk = dk_t.transpose(0, 1, 3, 2)
     dv = dv_t.transpose(0, 1, 3, 2)
 
@@ -593,18 +704,33 @@ def _sfc_attention_backward(q, k, v, pos, nc, w5, b5, blank_k, out, blank,
             dblank_k.astype(blank_k.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
-def sfc_cluster_attention(q, k, v, pos, nc, w5, b5, blank_k, cluster_size):
-    """Fused local cluster attention over SFC-ordered tokens (see module doc)."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _sfc_cluster_attention_vjp(q, k, v, pos, nc, w5, b5, blank_k,
+                               cluster_size, visit):
     out, blank, _ = _sfc_attention_forward(
-        q, k, v, pos, nc, w5, b5, blank_k, cluster_size
+        q, k, v, pos, nc, w5, b5, blank_k, cluster_size, visit
     )
     return out, blank
 
 
-def _fwd(q, k, v, pos, nc, w5, b5, blank_k, cluster_size):
+def sfc_cluster_attention(q, k, v, pos, nc, w5, b5, blank_k, cluster_size):
+    """Fused local cluster attention over SFC-ordered tokens (see module doc).
+
+    When the clustering is a trace-time constant (stage 1: the on-grid
+    clustering computed eagerly on the constant pixel grid), the kernels
+    sweep the exact static visit lists instead of the contiguous [lo, hi]
+    bounds — mean 7.9 vs 11.0 col-blocks per row-block at 512x512.  The
+    lists ride a nondiff argnum (hashable VisitLists) so the backward
+    kernels get them too."""
+    visit = _maybe_visit_lists(nc, cluster_size, q.shape[2])
+    return _sfc_cluster_attention_vjp(
+        q, k, v, pos, nc, w5, b5, blank_k, cluster_size, visit
+    )
+
+
+def _fwd(q, k, v, pos, nc, w5, b5, blank_k, cluster_size, visit):
     out, blank, lse = _sfc_attention_forward(
-        q, k, v, pos, nc, w5, b5, blank_k, cluster_size
+        q, k, v, pos, nc, w5, b5, blank_k, cluster_size, visit
     )
     return (out, blank), (q, k, v, pos, nc, w5, b5, blank_k, out, blank, lse)
 
@@ -627,13 +753,14 @@ def gather_composition(q, k, v, pos, nc, w5, b5, blank_k, cluster_size):
     return local_cluster_attention_reference(q, k, v, member, bias, mask, blank_attn)
 
 
-def _bwd(cluster_size, res, grads):
+def _bwd(cluster_size, visit, res, grads):
     q, k, v, pos, nc, w5, b5, blank_k, out, blank, lse = res
     g, gb = grads
     dq, dk, dv, dw5, db5, dblank_k = _sfc_attention_backward(
-        q, k, v, pos, nc, w5, b5, blank_k, out, blank, lse, g, gb, cluster_size
+        q, k, v, pos, nc, w5, b5, blank_k, out, blank, lse, g, gb,
+        cluster_size, visit
     )
     return dq, dk, dv, None, None, dw5, db5, dblank_k
 
 
-sfc_cluster_attention.defvjp(_fwd, _bwd)
+_sfc_cluster_attention_vjp.defvjp(_fwd, _bwd)
