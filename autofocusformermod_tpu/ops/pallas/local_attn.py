@@ -67,15 +67,16 @@ BLOCK_Q = 128
 BLOCK_K = 128
 _NEG = -1e30
 _PREC = jax.lax.Precision.HIGHEST
-# In-kernel dot precision: HIGH = the bf16x3 decomposition (~2^-21 relative,
-# indistinguishable from f32 at attention tolerances) at half the MXU passes
-# of HIGHEST's bf16x6 — the kernels were MXU-pass-bound at c_=16 (stage 1).
-# Env override for A/B: AFF_ATTN_PREC=highest|high|default.
+# In-kernel dot precision.  HIGH (bf16x3) would halve HIGHEST's MXU passes
+# at f32-grade accuracy, but MOSAIC REJECTS IT at compile time
+# ("NotImplementedError: Unsupported dot precision: HIGH") — only DEFAULT
+# (single-pass bf16) and HIGHEST (bf16x6) lower.  DEFAULT is a measurable
+# A/B (AFF_ATTN_PREC=default) whose ~1e-2 logit rounding needs a drift
+# budget before it can be the default.
 _PREC_K = {
     "highest": jax.lax.Precision.HIGHEST,
-    "high": jax.lax.Precision.HIGH,
     "default": jax.lax.Precision.DEFAULT,
-}[__import__("os").environ.get("AFF_ATTN_PREC", "high").strip().lower()]
+}[__import__("os").environ.get("AFF_ATTN_PREC", "highest").strip().lower()]
 
 
 class VisitLists:

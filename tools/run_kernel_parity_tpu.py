@@ -41,8 +41,14 @@ def run_pytest_tier() -> dict:
     env = dict(os.environ)
     env["PYTEST_REAL_TPU"] = "1"
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+    # interpret-mode exactness tests assert kernel-interpret == XLA
+    # composition bit-for-bit, a CPU-semantics property: on the TPU backend
+    # the XLA reference itself computes at TPU einsum precision, so those
+    # belong to (and are green in) the CPU tier.  This tier's purpose is
+    # COMPILED kernel parity.
     proc = subprocess.run(
-        [sys.executable, "-m", "pytest", *TPU_TEST_FILES, "-q", "-rA"],
+        [sys.executable, "-m", "pytest", *TPU_TEST_FILES, "-q", "-rA",
+         "-k", "not interpret"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=5400,
     )
     out = proc.stdout + proc.stderr
