@@ -133,34 +133,57 @@ def direct_measurements() -> dict:
         "d_w_max_rel_err": max(_rel(a, b) for a, b in zip(dws_p, dws_r)),
     }
 
-    # fused local attention (block-sparse flash) fwd at AFF stage shapes
+    # fused local attention (block-sparse flash) at real stage-1-like
+    # geometry: concrete grid clustering, so this ALSO compiles and checks
+    # the static visit-list kernels on the chip; VJP included
     try:
-        from autofocusformermod_tpu.ops.dispatch import (
-            local_cluster_attention_reference,
+        from autofocusformermod_tpu.geometry.cluster import (
+            space_filling_cluster,
         )
+        from autofocusformermod_tpu.geometry.knn import knn
         from autofocusformermod_tpu.ops.pallas.local_attn import (
-            fused_local_attention,
+            _maybe_visit_lists,
+            gather_composition,
+            sfc_cluster_attention,
         )
 
         rng = np.random.default_rng(2)
-        b, h, n, c_, m = 2, 4, 1024, 32, 48
-        q, k, v = (jnp.asarray(rng.standard_normal((b, h, n, c_)),
+        hi = wi = 32
+        b, h, c_, m, nnc = 2, 4, 32, 8, 6
+        n = hi * wi
+        ys, xs = np.meshgrid(np.arange(hi), np.arange(wi), indexing="ij")
+        pos0 = jnp.asarray(np.stack([xs, ys], 2).reshape(1, -1, 2),
+                           jnp.float32)
+        pos2, cmean, _, _, _ = space_filling_cluster(pos0, m, hi, wi)
+        nc = jnp.broadcast_to(jnp.asarray(knn(pos2, cmean, nnc)),
+                              (b, n, nnc))
+        pos_b = jnp.broadcast_to(jnp.asarray(pos2), (b, n, 2))
+        q, k, v = (jnp.asarray(rng.standard_normal((b, h, n, c_)) * 0.3,
                                jnp.float32) for _ in range(3))
-        member_idx = jnp.asarray(
-            rng.integers(0, n, (b, n, m)), jnp.int32)
-        bias = jnp.asarray(rng.standard_normal((b, n, m, h)), jnp.float32)
-        blank = jnp.asarray(rng.standard_normal((b, h, n, 1)), jnp.float32)
-        ref_f, ref_b = local_cluster_attention_reference(
-            q, k, v, member_idx, bias, None, blank)
-        got_f, got_b = fused_local_attention(
-            q, k, v, member_idx, bias, None, blank)
-        meas["fused_local_attention_fwd"] = {
-            "shape": [b, h, n, c_, m],
+        w5 = jnp.asarray(rng.standard_normal((h, 5)) * 0.1, jnp.float32)
+        b5 = jnp.zeros((h,), jnp.float32)
+        blank_k = jnp.asarray(rng.standard_normal((h, c_)) * 0.3,
+                              jnp.float32)
+
+        def run(fn, q, k, v):
+            out, blank = fn(q, k, v, pos_b, nc, w5, b5, blank_k, m)
+            return jnp.sum(out * out) + jnp.sum(blank * blank), (out, blank)
+
+        (_, (ref_f, ref_b)), gr = jax.value_and_grad(
+            lambda *a: run(gather_composition, *a), argnums=(0, 1, 2),
+            has_aux=True)(q, k, v)
+        (_, (got_f, got_b)), gp = jax.value_and_grad(
+            lambda *a: run(sfc_cluster_attention, *a), argnums=(0, 1, 2),
+            has_aux=True)(q, k, v)
+        meas["sfc_cluster_attention"] = {
+            "shape": [b, h, n, c_], "cluster_size": m, "nnc": nnc,
+            "visit_lists_active": _maybe_visit_lists(nc, m, n) is not None,
             "feat_max_rel_err": _rel(got_f, ref_f),
             "blank_max_rel_err": _rel(got_b, ref_b),
+            "grad_max_rel_err": max(_rel(a, b) for a, b in zip(gp, gr)),
         }
     except Exception as e:  # noqa: BLE001
-        meas["fused_local_attention_fwd"] = {"error": str(e)[:200]}
+        meas["sfc_cluster_attention"] = {"error": str(e)[:200]}
 
     return meas
 
