@@ -25,18 +25,58 @@ from .transformer_decoder import (
 
 class MaskFormerHead(nn.Module):
     """pixel_decoder.forward_features -> transformer predictor
-    (mask_former_head.py:111-128)."""
+    (mask_former_head.py:111-128).
+
+    ``f32_islands`` (parallel.precision.ISLAND_PARAM_PATHS) re-creates the
+    reference's non-uniform AMP: its pixel decoder runs fp32 under autocast
+    (reference msdeformattn_pc.py:464 ``@autocast(enabled=False)``).  An
+    active island upcasts its input activations to fp32 and runs its matmuls
+    at HIGHEST precision (true-fp32 grade — TPU DEFAULT precision would
+    quantize fp32 operands back to bf16, voiding the island); its params are
+    kept fp32 by ``amp_variables``.
+    """
 
     pixel_decoder: MSDeformAttnPixelDecoder
     predictor: MultiScaleMaskedTransformerDecoder
+    f32_islands: Tuple[str, ...] = ()
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, features: Dict, deterministic: bool = True) -> Dict:
-        mask_features, mf_pos, _, multi_scale_features, multi_scale_poss = (
-            self.pixel_decoder(features, deterministic)
-        )
+        from ..parallel.precision import f32_outputs
+
+        amp = self.compute_dtype != jnp.float32
+
+        if amp and "pixel_decoder" in self.f32_islands:
+            features = f32_outputs(features)
+            with jax.default_matmul_precision("float32"):
+                mask_features, mf_pos, _, multi_scale_features, multi_scale_poss = (
+                    self.pixel_decoder(features, deterministic)
+                )
+            if "decoder" not in self.f32_islands:
+                # decoder stays bf16; mask_features keep fp32 so the mask
+                # logits (the thresholded decision) never round through bf16
+                multi_scale_features = [
+                    f.astype(self.compute_dtype) for f in multi_scale_features
+                ]
+        else:
+            mask_features, mf_pos, _, multi_scale_features, multi_scale_poss = (
+                self.pixel_decoder(features, deterministic)
+            )
+
         finest = self.pixel_decoder.in_features[0]
         mask_size = features[finest + "_spatial_shape"]
+
+        if amp and "decoder" in self.f32_islands:
+            multi_scale_features = [
+                f.astype(jnp.float32) for f in multi_scale_features
+            ]
+            mask_features = mask_features.astype(jnp.float32)
+            with jax.default_matmul_precision("float32"):
+                return self.predictor(
+                    multi_scale_features, multi_scale_poss, mask_features,
+                    mf_pos, mask_size, deterministic,
+                )
         return self.predictor(
             multi_scale_features, multi_scale_poss, mask_features, mf_pos,
             mask_size, deterministic,
@@ -55,6 +95,9 @@ class MaskFormer(nn.Module):
     # train_net.py); pair with parallel.precision.amp_variables so params
     # arrive bf16 too — fp32 params would promote everything back.
     compute_dtype: Any = jnp.float32
+    # fp32 islands under AMP (see MaskFormerHead docstring); "backbone" is
+    # handled here, the rest inside the head
+    f32_islands: Tuple[str, ...] = ()
 
     def normalize(self, images: jnp.ndarray) -> jnp.ndarray:
         """images: (b, H, W, 3) raw RGB (uint8 or float) -> normalized f32.
@@ -66,8 +109,22 @@ class MaskFormer(nn.Module):
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> Dict:
-        x = self.normalize(images).astype(self.compute_dtype)
-        features = self.backbone(x, train=train)
+        amp = self.compute_dtype != jnp.float32
+        if amp and "backbone" in self.f32_islands:
+            x = self.normalize(images)
+            with jax.default_matmul_precision("float32"):
+                features = self.backbone(x, train=train)
+            if "pixel_decoder" not in self.f32_islands:
+                # cast features down, but positions stay fp32 geometry
+                features = {
+                    k: (v.astype(self.compute_dtype)
+                        if hasattr(v, "dtype") and v.dtype == jnp.float32
+                        and not k.endswith("_pos") else v)
+                    for k, v in features.items()
+                }
+        else:
+            x = self.normalize(images).astype(self.compute_dtype)
+            features = self.backbone(x, train=train)
         out = self.head(features, deterministic=not train)
         if self.compute_dtype != jnp.float32:
             # losses/matching/inference are fp32 islands
@@ -105,15 +162,30 @@ def maskformer_from_config(cfg, use_pallas: Optional[bool] = None) -> MaskFormer
 
         backbone = BACKBONE_REGISTRY.get(name)(cfg)
         feature_channels = {}
+    amp = bool(cfg.SOLVER.AMP.ENABLED)
+    compute_dtype = jnp.bfloat16 if amp else jnp.float32
+    if amp:
+        from ..parallel.precision import active_f32_islands
+
+        islands = active_f32_islands()
+    else:
+        islands = ()
     pixel_decoder = pixel_decoder_from_config(cfg, feature_channels)
-    predictor = transformer_decoder_from_config(cfg, cfg.MODEL.SEM_SEG_HEAD.CONVS_DIM)
-    head = MaskFormerHead(pixel_decoder=pixel_decoder, predictor=predictor)
+    predictor = transformer_decoder_from_config(
+        cfg, cfg.MODEL.SEM_SEG_HEAD.CONVS_DIM,
+        f32_mask_head=amp and "mask_head" in islands,
+    )
+    head = MaskFormerHead(
+        pixel_decoder=pixel_decoder, predictor=predictor,
+        f32_islands=islands, compute_dtype=compute_dtype,
+    )
     return MaskFormer(
         backbone=backbone,
         head=head,
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
-        compute_dtype=jnp.bfloat16 if cfg.SOLVER.AMP.ENABLED else jnp.float32,
+        compute_dtype=compute_dtype,
+        f32_islands=islands,
     )
 
 

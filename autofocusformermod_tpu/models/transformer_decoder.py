@@ -141,6 +141,13 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
     # stock grid Mask2Former behavior) instead of Shepard-upsampled onto the
     # level's point positions.  Requires level_shapes at call time.
     grid_attn_mask: bool = False
+    # fp32 island under AMP (parallel.precision "mask_head"): the prediction
+    # heads — decoder_norm -> class/mask embeds -> the mask-logit dot and its
+    # Shepard attention-mask upsample — run fp32 at HIGHEST matmul precision.
+    # The mask logit feeds a >0 threshold (the decision PQ/AP consume);
+    # DRIFT_r04.json measured uniform bf16 flipping 3.14% of those decisions
+    # at trained weights.  The query/feature path stays bf16.
+    f32_mask_head: bool = False
 
     def setup(self):
         self.query_feat = nn.Embed(self.num_queries, self.hidden_dim)
@@ -175,6 +182,20 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
     def _prediction_heads(self, output, mask_features, mf_pos, target_pos,
                           mask_size=None, mf_lut=None, target_hw=None):
         """(reference :468-488). output: (b, q, c)."""
+        if self.f32_mask_head:
+            with jax.default_matmul_precision("float32"):
+                return self._prediction_heads_impl(
+                    output.astype(jnp.float32),
+                    mask_features.astype(jnp.float32),
+                    mf_pos, target_pos, mask_size, mf_lut, target_hw,
+                )
+        return self._prediction_heads_impl(
+            output, mask_features, mf_pos, target_pos, mask_size, mf_lut,
+            target_hw,
+        )
+
+    def _prediction_heads_impl(self, output, mask_features, mf_pos, target_pos,
+                               mask_size=None, mf_lut=None, target_hw=None):
         dec = self.decoder_norm(output)
         outputs_class = self.class_embed(dec)                       # (b, q, nc+1)
         mask_embed = self.mask_embed(dec)                           # (b, q, cm)
@@ -287,12 +308,15 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
         }
 
 
-def transformer_decoder_from_config(cfg, in_channels: int) -> MultiScaleMaskedTransformerDecoder:
+def transformer_decoder_from_config(
+    cfg, in_channels: int, f32_mask_head: bool = False
+) -> MultiScaleMaskedTransformerDecoder:
     """Mirror of from_config (mask2former_transformer_decoder.py:362-387).
     TRANSFORMER_DECODER_NAME "...Swin" selects the grid attention-mask
     variant (mask2former_transformer_decoder_swin.py)."""
     name = cfg.MODEL.MASK_FORMER.TRANSFORMER_DECODER_NAME
     return MultiScaleMaskedTransformerDecoder(
+        f32_mask_head=f32_mask_head,
         in_channels=in_channels,
         num_classes=cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
         hidden_dim=cfg.MODEL.MASK_FORMER.HIDDEN_DIM,

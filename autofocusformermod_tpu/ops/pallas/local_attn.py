@@ -67,16 +67,30 @@ BLOCK_Q = 128
 BLOCK_K = 128
 _NEG = -1e30
 _PREC = jax.lax.Precision.HIGHEST
-# In-kernel dot precision.  HIGH (bf16x3) would halve HIGHEST's MXU passes
-# at f32-grade accuracy, but MOSAIC REJECTS IT at compile time
-# ("NotImplementedError: Unsupported dot precision: HIGH") — only DEFAULT
-# (single-pass bf16) and HIGHEST (bf16x6) lower.  DEFAULT is a measurable
-# A/B (AFF_ATTN_PREC=default) whose ~1e-2 logit rounding needs a drift
-# budget before it can be the default.
+# In-kernel dot precision for BF16 inputs (the AMP production path).  HIGH
+# (bf16x3) would halve HIGHEST's MXU passes at f32-grade accuracy, but
+# MOSAIC REJECTS IT at compile time ("NotImplementedError: Unsupported dot
+# precision: HIGH") — only DEFAULT (single-pass bf16) and HIGHEST (bf16x6)
+# lower.  Round 5 banked the A/B under the mechanism-separated drift budget
+# (DRIFT_r05.json, tests/test_decision_drift.py): with bf16 operands the
+# extra HIGHEST passes only refine the f32 ACCUMULATION of already-rounded
+# products, and the measured decision cost is inside the selection-
+# reordering noise the bf16 backbone already carries — while the single
+# pass is worth +4.1% end-to-end (28.15 -> 29.32 im/s, AFF-Mini 512).
+# FP32 inputs (the fp32 reference path and the "backbone" island that pins
+# token selection for the drift arithmetic tier) always use HIGHEST via
+# _dot_prec — DEFAULT would quantize true-f32 operands to bf16 and void the
+# reference.  AFF_ATTN_PREC=highest restores the old bf16 behavior.
 _PREC_K = {
     "highest": jax.lax.Precision.HIGHEST,
     "default": jax.lax.Precision.DEFAULT,
-}[__import__("os").environ.get("AFF_ATTN_PREC", "highest").strip().lower()]
+}[__import__("os").environ.get("AFF_ATTN_PREC", "default").strip().lower()]
+
+
+def _dot_prec(dtype):
+    """In-kernel dot precision: f32 operands always get HIGHEST (exact
+    reference semantics); bf16 operands get the AFF_ATTN_PREC choice."""
+    return _PREC if dtype == jnp.float32 else _PREC_K
 
 
 class VisitLists:
@@ -140,17 +154,27 @@ def _maybe_visit_lists(nc, cluster_size: int, n: int):
     if nc_np.ndim == 3 and nc_np.shape[0] > 1:
         if not np.all(nc_np == nc_np[:1]):
             return None
-    key = (nc_np.shape, nc_np[0].tobytes() if nc_np.ndim == 3 else nc_np.tobytes(),
-           cluster_size, n)
+    # key on a digest of the clustering bytes, not the bytes themselves
+    # (~0.5 MB per key at stage-1 flagship shapes), and bound the cache so a
+    # long-lived process seeing many distinct clusterings/grids cannot
+    # retain every one ever traced (FIFO eviction; reuse is dominated by the
+    # per-shape constant grid clustering, so recency hardly matters).
+    import hashlib
+
+    raw = nc_np[0].tobytes() if nc_np.ndim == 3 else nc_np.tobytes()
+    key = (nc_np.shape, hashlib.sha1(raw).digest(), cluster_size, n)
     hit = _VISIT_CACHE.get(key)
     if hit is None:
         hit = VisitLists(nc_np[0] if nc_np.ndim == 3 else nc_np,
                          cluster_size, n)
+        if len(_VISIT_CACHE) >= _VISIT_CACHE_MAX:
+            _VISIT_CACHE.pop(next(iter(_VISIT_CACHE)))
         _VISIT_CACHE[key] = hit
     return hit
 
 
 _VISIT_CACHE: dict = {}
+_VISIT_CACHE_MAX = 64
 
 
 def _kernel(
@@ -226,7 +250,7 @@ def _kernel(
             vb = vt_ref[0, hid, :, pl.ds(cb * BLOCK_K, BLOCK_K)]
             s = jax.lax.dot_general(
                 qs[hid], kb, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_PREC_K,
+                preferred_element_type=jnp.float32, precision=_dot_prec(q_ref.dtype),
             )                                                    # (BQ, BK)
             s = s + (dx * w5_ref[hid, 0] + dy * w5_ref[hid, 1]
                      + dist * w5_ref[hid, 2] + sin * w5_ref[hid, 3]
@@ -239,7 +263,7 @@ def _kernel(
             l_new = l_run * alpha + jnp.sum(p, axis=1, keepdims=True)
             acc = acc * alpha + jax.lax.dot_general(
                 p, vb, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_PREC_K,
+                preferred_element_type=jnp.float32, precision=_dot_prec(q_ref.dtype),
             )
             new_carry += [m_new, l_new, acc]
         return tuple(new_carry)
@@ -342,7 +366,7 @@ def _bwd_dq_kernel(
 
             s = jax.lax.dot_general(
                 qs[hid], kb, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_PREC_K,
+                preferred_element_type=jnp.float32, precision=_dot_prec(q_ref.dtype),
             )
             s = s + (dx * w5_ref[hid, 0] + dy * w5_ref[hid, 1]
                      + dist * w5_ref[hid, 2] + sin * w5_ref[hid, 3]
@@ -351,12 +375,12 @@ def _bwd_dq_kernel(
             p = jnp.where(allowed, jnp.exp(s - lses[hid]), 0.0)   # (BQ, BK)
             gv = jax.lax.dot_general(
                 gs[hid], vb, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_PREC_K,
+                preferred_element_type=jnp.float32, precision=_dot_prec(q_ref.dtype),
             )
             ds = p * (gv - deltas[hid])
             dq_acc = dq_acc + jax.lax.dot_general(
                 ds, kb, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_PREC_K,
+                preferred_element_type=jnp.float32, precision=_dot_prec(q_ref.dtype),
             )
             new_carry.append(dq_acc)
             new_carry += [
@@ -447,7 +471,7 @@ def _bwd_dkv_kernel(
 
             s = jax.lax.dot_general(
                 q_r, kbs[hid], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_PREC_K,
+                preferred_element_type=jnp.float32, precision=_dot_prec(qt_ref.dtype),
             )                                             # (BQ, BK)
             s = s + (dx * w5_ref[hid, 0] + dy * w5_ref[hid, 1]
                      + dist * w5_ref[hid, 2] + sin * w5_ref[hid, 3]
@@ -456,16 +480,16 @@ def _bwd_dkv_kernel(
             p = jnp.where(allowed, jnp.exp(s - lse_r), 0.0)
             dv_acc = dv_acc + jax.lax.dot_general(
                 g_r, p, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_PREC_K,
+                preferred_element_type=jnp.float32, precision=_dot_prec(qt_ref.dtype),
             )                                             # (c_, BK)
             gv = jax.lax.dot_general(
                 g_r, vbs[hid], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_PREC_K,
+                preferred_element_type=jnp.float32, precision=_dot_prec(qt_ref.dtype),
             )                                             # (BQ, BK)
             ds = p * (gv - delta_r)
             dk_acc = dk_acc + jax.lax.dot_general(
                 q_r, ds, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_PREC_K,
+                preferred_element_type=jnp.float32, precision=_dot_prec(qt_ref.dtype),
             )
             new_carry += [dk_acc, dv_acc]
         return tuple(new_carry)

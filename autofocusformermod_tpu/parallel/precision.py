@@ -21,7 +21,8 @@ path, not matmul flops.
 
 from __future__ import annotations
 
-from typing import Any
+import os
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +33,72 @@ import jax.numpy as jnp
 # every sampled point ~0.4% and flips nearest-grid-cell snaps
 # (pixel_decoder.py MSDeformAttnPc), a discrete, disproportionate error.
 KEEP_F32 = ("sampling_offsets",)
+
+# ------------------------------------------------------------- fp32 islands
+# The reference's AMP recipe is NOT uniform fp16: its entire pixel decoder
+# runs fp32 (@autocast(enabled=False), reference msdeformattn_pc.py:464).
+# Round 4 measured the price of uniform bf16 at trained weights: 3.14% of
+# mask-threshold decisions flip vs fp32 (DRIFT_r04.json), blowing the 1%
+# budget.  Islands restore reference-grade precision per component; which
+# islands are active is decided by the on-chip ablation in
+# tools/ablate_drift_islands.py and pinned by DRIFT_r05.json.
+#
+# name -> param-tree path substrings that stay fp32 under amp_variables.
+# The matching ACTIVATION casts live at the module boundaries (maskformer.py
+# MaskFormerHead / transformer_decoder.py _prediction_heads).
+ISLAND_PARAM_PATHS = {
+    "backbone": ("backbone/",),
+    "pixel_decoder": ("pixel_decoder/",),
+    "decoder": ("predictor/",),
+    # just the prediction heads: decoder_norm -> class/mask embeds -> the
+    # mask-logit dot and its Shepard attention-mask upsample
+    "mask_head": (
+        "predictor/decoder_norm",
+        "predictor/class_embed",
+        "predictor/mask_embed",
+    ),
+}
+
+# Production default: NO islands (uniform bf16).  The round-5 ablation
+# (DRIFT_ISLANDS_r05.json) measured every downstream island — including the
+# reference's own fp32 pixel decoder — leaving the trained-weights
+# mask-threshold flip rate unchanged (3.1 -> 3.7-3.8%), because the flips
+# are not logit arithmetic: bf16 noise reorders near-tied keep scores in
+# the backbone's ClusterMerging top-k and a different, equally-scored token
+# subset survives (kept-token Jaccard at res5: 0.47, DRIFT_SOURCE_r05.json).
+# With the selection pinned (the "backbone" island), arithmetic flips are
+# 1.4e-3 — far inside the tie-explainable budget — so the islands buy no
+# decision fidelity at eval.  The reference's fp32 pixel decoder guards
+# fp16 OVERFLOW during training (fp16 has a 5-bit exponent; bf16 shares
+# fp32's range), a failure mode the bf16 policy does not have; our training
+# numerics keep criterion/matcher/optimizer fp32 by construction.
+# The budget is enforced mechanism-by-mechanism in
+# tests/test_decision_drift.py::test_flagship_drift_artifact_within_budget.
+DEFAULT_F32_ISLANDS = ""
+
+
+def active_f32_islands() -> Tuple[str, ...]:
+    """fp32-island set under AMP: env AFF_F32_ISLANDS (comma list, '' = none)
+    overrides the production default."""
+    env = os.environ.get("AFF_F32_ISLANDS")
+    if env is None:
+        env = DEFAULT_F32_ISLANDS
+    names = tuple(s.strip() for s in env.split(",") if s.strip())
+    for n in names:
+        if n not in ISLAND_PARAM_PATHS:
+            raise ValueError(
+                f"unknown fp32 island {n!r}; known: {sorted(ISLAND_PARAM_PATHS)}"
+            )
+    return names
+
+
+def island_keep_paths(islands: Tuple[str, ...] = None) -> Tuple[str, ...]:
+    if islands is None:
+        islands = active_f32_islands()
+    paths: Tuple[str, ...] = ()
+    for n in islands:
+        paths += ISLAND_PARAM_PATHS[n]
+    return paths
 
 
 def cast_floating(tree: Any, dtype=jnp.bfloat16, keep_f32=()) -> Any:
@@ -72,4 +139,5 @@ def amp_variables(variables: dict, enabled: bool = True) -> dict:
     """
     if not enabled:
         return variables
-    return {k: cast_floating(v, keep_f32=KEEP_F32) for k, v in variables.items()}
+    keep = KEEP_F32 + island_keep_paths()
+    return {k: cast_floating(v, keep_f32=keep) for k, v in variables.items()}

@@ -320,8 +320,11 @@ PROFILE_R04 = {
         "stage-1 backbone attention (n=16384, h=2, c_=16) is 55 of the 83 "
         "ms attention total: block-sparse visit bounds average 11 col-"
         "blocks/row-block vs 7.9 distinct (SFC discontinuities widen the "
-        "contiguous range) and the dots ran bf16x6 (Precision.HIGHEST); "
-        "in-kernel dots now run bf16x3 (HIGH).  Next leads: exact visit "
+        "contiguous range) and the dots ran bf16x6 (Precision.HIGHEST). "
+        "Precision.HIGH (bf16x3) was REJECTED by Mosaic at compile time — "
+        "the shipped default remains HIGHEST, with single-pass DEFAULT "
+        "reachable via AFF_ATTN_PREC=default as the drift-budgeted A/B "
+        "(local_attn.py).  Next leads: exact visit "
         "lists for the trace-time-constant stage-1 clustering, the 21.5 ms "
         "pred-mask relayout in the criterion backward, and the msdetrpc "
         "backward's VPU select+reduce scatter (Mosaic rejects narrowing it "

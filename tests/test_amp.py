@@ -54,7 +54,18 @@ def test_compute_dtype_is_bf16(fp32_and_amp):
     pd = inter["intermediates"]["head"]["pixel_decoder"]
     assert pd["mask_features"]["__call__"][0].dtype == jnp.bfloat16
     dec = inter["intermediates"]["head"]["predictor"]
-    assert dec["decoder_norm"]["__call__"][0].dtype == jnp.bfloat16
+    # the prediction heads are an fp32 island by default ("mask_head",
+    # parallel.precision.DEFAULT_F32_ISLANDS): the mask logit feeds a >0
+    # threshold, and DRIFT_r04.json measured uniform bf16 flipping 3.14% of
+    # those decisions at trained weights.  The query/feature path (cross/
+    # self/ffn layers) must still run bf16.
+    from autofocusformermod_tpu.parallel.precision import active_f32_islands
+
+    if "mask_head" in active_f32_islands():
+        assert dec["decoder_norm"]["__call__"][0].dtype == jnp.float32
+    else:
+        assert dec["decoder_norm"]["__call__"][0].dtype == jnp.bfloat16
+    assert dec["cross_0"]["__call__"][0].dtype == jnp.bfloat16
 
 
 def test_outputs_fp32_within_budget(fp32_and_amp):

@@ -13,7 +13,7 @@ Two tiers:
 
 Usage: python tools/run_kernel_parity_tpu.py  (needs the TPU; ~10-20 min of
 remote compiles on a cold cache)
-Env:   KPARITY_TAG=r04
+Env:   KPARITY_TAG=r05
 """
 
 from __future__ import annotations
@@ -189,7 +189,7 @@ def direct_measurements() -> dict:
 
 
 def main() -> None:
-    tag = os.environ.get("KPARITY_TAG", "r04")
+    tag = os.environ.get("KPARITY_TAG", "r05")
     import jax
 
     backend = jax.default_backend()

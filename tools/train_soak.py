@@ -8,7 +8,9 @@ soak_ckpt.npz so tools/measure_decision_drift.py can measure decision drift
 at TRAINED weights (VERDICT r3 item 3).
 
 Usage: python tools/train_soak.py [steps] [batch] [size]
-Env:   SOAK_TAG=r04 (output suffix), SOAK_LR=3e-4, SOAK_CKPT=soak_ckpt.npz
+Env:   SOAK_TAG=r05 (output suffix), SOAK_LR=3e-4, SOAK_CKPT=soak_ckpt.npz,
+       SOAK_TOPK=capped|global (pin the uncertainty-ranking top-k scheme for
+       the STRATIFIED_TOPK end-metric A/B, tools/ab_stratified_topk.py)
 """
 
 from __future__ import annotations
@@ -24,15 +26,30 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def _blob_targets(rng, batch, t, size, nc):
-    """Coherent blob masks + labels (overfittable, unlike iid noise masks)."""
+    """Coherent blob masks + labels (overfittable, unlike iid noise masks).
+
+    Ownership is EXCLUSIVE (VERDICT r4 item 5): overlapping circles made the
+    r4 argmax GT map ill-posed — each query's mask was trained to its FULL
+    circle (matched-mask BCE ~0) while the eval argmax assigned overlap
+    pixels to one owner, capping synthetic_miou at ~0.47 on the very batch
+    the losses had overfit.  Carving overlaps (each covered pixel belongs to
+    the blob whose normalized center distance is smallest) makes mask
+    targets disjoint, so near-zero mask loss and mIoU ~1 can coexist and the
+    metric measures optimization, not construction ambiguity."""
     yy, xx = np.mgrid[0:size, 0:size]
     masks = np.zeros((batch, t, size, size), np.float32)
     labels = rng.integers(0, nc, (batch, t)).astype(np.int32)
     for b in range(batch):
+        # normalized distance field per blob; <1 inside the circle
+        nd = np.full((t, size, size), np.inf, np.float32)
         for k in range(t):
             cy, cx = rng.uniform(0.2, 0.8, 2) * size
             r = rng.uniform(0.08, 0.25) * size
-            masks[b, k] = ((yy - cy) ** 2 + (xx - cx) ** 2 < r * r)
+            nd[k] = np.hypot(yy - cy, xx - cx) / r
+        owner = nd.argmin(0)
+        covered = nd.min(0) < 1.0
+        for k in range(t):
+            masks[b, k] = covered & (owner == k)
     return labels, masks
 
 
@@ -57,6 +74,12 @@ def main() -> None:
     from autofocusformermod_tpu.engine.optimizer import build_optimizer
     from autofocusformermod_tpu.models import maskformer_from_config
     from autofocusformermod_tpu.parallel import TrainState, make_train_step
+
+    topk_mode = os.environ.get("SOAK_TOPK", "")
+    if topk_mode:
+        from autofocusformermod_tpu.losses import point_sample as _ps
+
+        _ps.STRATIFIED_TOPK = topk_mode == "capped"
 
     cfg = _flagship_cfg()
     cfg.SOLVER.AMP.ENABLED = True
@@ -88,7 +111,7 @@ def main() -> None:
         donate=False, amp=True,
     )
 
-    tag = os.environ.get("SOAK_TAG", "r04")
+    tag = os.environ.get("SOAK_TAG", "r05")
     out_path = os.path.join(os.path.dirname(__file__), "..",
                             f"SOAK_{tag}.jsonl")
 
@@ -165,6 +188,12 @@ def main() -> None:
         "batch_stats/" + "/".join(k): np.asarray(v, np.float32)
         for k, v in traverse_util.flatten_dict(state.batch_stats).items()
     })
+    # the overfit batch rides along so measure_decision_drift.py can report
+    # the TASK-metric delta (synthetic mIoU fp32 vs production path) at
+    # these weights — converting decision flips into mIoU currency
+    flat["data/image"] = np.asarray(data["image"], np.float32)
+    flat["data/labels"] = labels
+    flat["data/masks"] = masks.astype(np.uint8)
     np.savez(ckpt_path, **flat)
     print(f"saved trained weights to {ckpt_path}")
 
