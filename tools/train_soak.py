@@ -77,9 +77,17 @@ def main() -> None:
 
     topk_mode = os.environ.get("SOAK_TOPK", "")
     if topk_mode:
-        from autofocusformermod_tpu.losses import point_sample as _ps
+        # NB: losses/__init__ re-exports a *function* named point_sample
+        # that shadows the submodule on attribute lookup — resolve the
+        # module itself or the flag lands on the function object (no-op)
+        import importlib
 
+        _ps = importlib.import_module(
+            "autofocusformermod_tpu.losses.point_sample"
+        )
         _ps.STRATIFIED_TOPK = topk_mode == "capped"
+        print(f"SOAK_TOPK={topk_mode}: STRATIFIED_TOPK="
+              f"{_ps.STRATIFIED_TOPK}", flush=True)
 
     cfg = _flagship_cfg()
     cfg.SOLVER.AMP.ENABLED = True
