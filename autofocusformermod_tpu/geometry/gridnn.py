@@ -39,7 +39,8 @@ def pos_index_lut(pos: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 
 
 def _window_knn(query: jnp.ndarray, h: int, w: int, half: int, k: int,
-                lut: Optional[jnp.ndarray] = None):
+                lut: Optional[jnp.ndarray] = None,
+                identity_lut: bool = False):
     """Exact k-NN among grid nodes via a (2*half+2)x(2*half+2) candidate
     window anchored at floor(query).
 
@@ -47,7 +48,10 @@ def _window_knn(query: jnp.ndarray, h: int, w: int, half: int, k: int,
     broken by candidate-window position.  With ``lut`` (cell -> token index):
     returns (token_idx (b,nq,k), d2), ties broken by LOWEST TOKEN INDEX —
     the same semantics as brute-force knn() over the token set, which matters
-    because half-integer query coords (scale_pos) tie exactly between nodes."""
+    because half-integer query coords (scale_pos) tie exactly between nodes.
+    ``identity_lut=True`` declares token index == cell id (raster-ordered
+    token set): the LUT gather disappears but tie semantics stay
+    lowest-token-index."""
     x = query[..., 0]
     y = query[..., 1]
     fx = jnp.floor(jnp.clip(x, 0, w - 1))
@@ -66,13 +70,15 @@ def _window_knn(query: jnp.ndarray, h: int, w: int, half: int, k: int,
     cells = (
         jnp.clip(gy, 0, h - 1) * w + jnp.clip(gx, 0, w - 1)
     ).astype(jnp.int32).reshape(*x.shape, win * win)
-    if lut is None:
+    if lut is None and not identity_lut:
         neg, idx = jax.lax.top_k(-d2, k)
         return jnp.take_along_axis(cells, idx, axis=-1), -neg
-    b, nq = cells.shape[0], cells.shape[1]
-    from ..ops.gather import take_scalars
+    if identity_lut:
+        tok = cells                                    # token index == cell id
+    else:
+        from ..ops.gather import take_scalars
 
-    tok = take_scalars(lut, cells)                     # (b, nq, win*win)
+        tok = take_scalars(lut, cells)                 # (b, nq, win*win)
     # lexicographic (d2, token) via XLA's single-pass multi-key sort
     d2s, toks = jax.lax.sort((d2, tok), dimension=-1, num_keys=2)
     return toks[..., :k], d2s[..., :k]
@@ -94,13 +100,17 @@ def grid_shepard_upsample(
     power=3.0,
     lut: Optional[jnp.ndarray] = None,
     return_weight_and_idx: bool = False,
+    identity_lut: bool = False,
 ):
     """Shepard interpolation against a full-grid database: exact window
     neighbors + LUT, no distance matrix.  Matches
-    upsample_feature_shepard(query, db_pos, feature, k=4) semantics."""
-    if lut is None:
+    upsample_feature_shepard(query, db_pos, feature, k=4) semantics.
+    ``identity_lut=True``: the database is raster-ordered (token == cell), so
+    no LUT is built or gathered."""
+    if lut is None and not identity_lut:
         lut = pos_index_lut(db_pos, h, w)
-    nn_idx, d2 = _window_knn(query, h, w, 1, 4, lut=lut)
+    nn_idx, d2 = _window_knn(query, h, w, 1, 4, lut=lut,
+                             identity_lut=identity_lut)
     weights = shepard_decay_weights(d2, power=power)
     if return_weight_and_idx:
         return weights, nn_idx

@@ -273,13 +273,19 @@ class ClusterMerging(nn.Module):
 
         weights = WeightNet(self.inner_ch, name="weight_net")(rel5_k)  # (b, n', m, ic)
 
-        if learned_prob is not None:
-            lp = take_rows(learned_prob, member_idx_k)  # (b, n', m, 1)
-            if mask_k is not None:
-                lp = lp * mask_k[..., None]
-            weights = weights * lp
-        elif mask_k is not None:
+        if mask_k is not None:
             weights = weights * mask_k[..., None]
+        if learned_prob is not None:
+            # fold the importance score into the features instead of gathering
+            # it per (kept-token, neighbor): Σ_m w·mask·lp[member]·feat[member]
+            # = Σ_m w·mask·(lp⊙feat)[member].  The elementwise (b, n, 1)x
+            # (b, n, c) product fuses into the existing cluster_wf feature
+            # gather, where the old width-1 row gather of lp was the single
+            # most expensive gather in the forward (6.3 ms at stage 0,
+            # 512x512 batch 4 — narrow 1-lane rows gather ~4x slower per row
+            # than wide ones).  Gradient to prob_net flows through the feat
+            # product with the same value.
+            feat = feat * learned_prob.astype(feat.dtype)
 
         # weights carry fp32 geometry; cast down so the big gather-einsum and
         # everything after it stay in the compute dtype under mixed precision

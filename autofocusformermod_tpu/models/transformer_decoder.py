@@ -16,10 +16,11 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 
 from ..geometry.rasterize import point2img
-from ..geometry.gridnn import grid_shepard_upsample, point2img_lut, pos_index_lut
+from ..geometry.gridnn import grid_shepard_upsample, pos_index_lut
 from ..geometry.shepard import upsample_feature_shepard
 from .layers import MLP, position_embedding_sine
 
@@ -180,22 +181,22 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
         self.mask_embed = MLP(self.hidden_dim, self.mask_dim, 3)
 
     def _prediction_heads(self, output, mask_features, mf_pos, target_pos,
-                          mask_size=None, mf_lut=None, target_hw=None):
+                          mask_size=None, mf_raster=False, target_hw=None):
         """(reference :468-488). output: (b, q, c)."""
         if self.f32_mask_head:
             with jax.default_matmul_precision("float32"):
                 return self._prediction_heads_impl(
                     output.astype(jnp.float32),
                     mask_features.astype(jnp.float32),
-                    mf_pos, target_pos, mask_size, mf_lut, target_hw,
+                    mf_pos, target_pos, mask_size, mf_raster, target_hw,
                 )
         return self._prediction_heads_impl(
-            output, mask_features, mf_pos, target_pos, mask_size, mf_lut,
+            output, mask_features, mf_pos, target_pos, mask_size, mf_raster,
             target_hw,
         )
 
     def _prediction_heads_impl(self, output, mask_features, mf_pos, target_pos,
-                               mask_size=None, mf_lut=None, target_hw=None):
+                               mask_size=None, mf_raster=False, target_hw=None):
         dec = self.decoder_norm(output)
         outputs_class = self.class_embed(dec)                       # (b, q, nc+1)
         mask_embed = self.mask_embed(dec)                           # (b, q, cm)
@@ -210,10 +211,12 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
                 raster, (b, q, int(target_hw[0]), int(target_hw[1])),
                 method="bilinear",
             ).reshape(b, q, -1)
-        elif mf_lut is not None:
+        elif mf_raster:
+            # mask features are raster-ordered (token == cell): the window-KNN
+            # needs no cell->token LUT gather
             am = grid_shepard_upsample(
                 target_pos, mf_pos, outputs_mask.transpose(0, 2, 1),
-                mask_size[0], mask_size[1], lut=mf_lut,
+                mask_size[0], mask_size[1], identity_lut=True,
             ).transpose(0, 2, 1)
         else:
             am = upsample_feature_shepard(
@@ -257,21 +260,35 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
             self.query_feat.embedding[None], (b, self.num_queries, self.hidden_dim)
         )
 
-        # mask features cover the full canvas for AFF: analytic grid
-        # neighbors + a LUT built once replace per-round brute-force KNN
-        mf_lut = (
-            pos_index_lut(mf_pos, mask_size[0], mask_size[1])
-            if mf_pos.shape[1] == mask_size[0] * mask_size[1]
-            else None
-        )
+        # mask features cover the full canvas for AFF.  Permute them into
+        # RASTER order once (one wide row gather), after which every
+        # per-round consumer degenerates: the 10x point2img rasterizations
+        # become reshapes (were 5.3 ms of (b, q, n) lane gathers at 512x512
+        # batch 4), and the attention-mask window-KNN's cell->token LUT
+        # lookups (take_scalars over 16 candidates per level query) vanish
+        # because token index == cell id.  Mask logits, the einsum, and all
+        # tie semantics are order-covariant, so outputs are unchanged.
+        mf_raster = mf_pos.shape[1] == mask_size[0] * mask_size[1]
+        if mf_raster:
+            from ..ops.gather import take_rows
+
+            mf_lut = pos_index_lut(mf_pos, mask_size[0], mask_size[1])
+            mask_features = take_rows(mask_features, mf_lut)
+            h_m, w_m = int(mask_size[0]), int(mask_size[1])
+            ys, xs = np.meshgrid(np.arange(h_m), np.arange(w_m), indexing="ij")
+            mf_pos = jnp.broadcast_to(
+                jnp.asarray(np.stack([xs, ys], 2).reshape(1, -1, 2),
+                            mf_pos.dtype),
+                (b, h_m * w_m, 2),
+            )
         predictions_class, predictions_mask = [], []
         outputs_class, outputs_mask, attn_mask = self._prediction_heads(
-            output, mask_features, mf_pos, pos[0], mask_size, mf_lut,
+            output, mask_features, mf_pos, pos[0], mask_size, mf_raster,
             target_hw=level_hw(0),
         )
         def rasterize(m):
-            if mf_lut is not None:
-                return point2img_lut(m, mf_pos, mask_size, lut=mf_lut)
+            if mf_raster:
+                return m.reshape(*m.shape[:2], *(int(s) for s in mask_size))
             return point2img(m, mf_pos, mask_size)
 
         predictions_class.append(outputs_class)
@@ -292,7 +309,7 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
 
             outputs_class, outputs_mask, attn_mask = self._prediction_heads(
                 output, mask_features, mf_pos,
-                pos[(i + 1) % self.num_feature_levels], mask_size, mf_lut,
+                pos[(i + 1) % self.num_feature_levels], mask_size, mf_raster,
                 target_hw=level_hw((i + 1) % self.num_feature_levels),
             )
             predictions_class.append(outputs_class)
