@@ -14,13 +14,19 @@ registers and prunes chunks:
     model's token order is importance-sorted, so without this sort no chunk
     could ever be pruned;
   - grid (b, nq/BQ); queries/database carried TOKEN-LAST (2, n);
-  - per program, a static loop over BD-wide database chunks computes the
-    (BQ, BD) distance tile and merges its top-k into a running per-query
-    top-k held in VMEM scratch;
-  - a chunk whose minimum distance strictly exceeds every query's current
-    k-th best is skipped after one reduction (`pl.when` on a scalar); with
-    raster-ordered queries (the pixel decoder's full-grid query set) almost
-    every far chunk is pruned.
+  - per program, database chunks are visited in PROXIMITY ORDER (a
+    bbox-to-bbox lower-bound distance per (query-block, chunk), computed in
+    XLA outside and argsorted — a (nb, nchunks)-sized problem), so the
+    nearest chunk is merged first and the running k-th-best bound is tight
+    immediately;
+  - the visit loop EXITS as soon as the next chunk's lower bound strictly
+    exceeds every query's current k-th best (ties kept: a later chunk at
+    exactly the k-th distance can still win on the lower-original-index tie
+    rule), and a chunk that survives the bound but whose actual minimum
+    distance exceeds the bound is still skipped after one reduction
+    (`pl.when` on a scalar).  The old order-0..n sweep merged ~all chunks
+    because the bound stayed +inf until a near chunk happened to arrive
+    (measured 3.45 ms for the 16384x4096 pixel-decoder tables).
 
 No gradient (positions are geometry; knn() already stop_gradients).
 Used by geometry.knn.knn on TPU for large 2-D problems; the XLA sweep
@@ -57,21 +63,28 @@ def _extract_k(d2, key, k):
     return jnp.concatenate(outs_d, 1), jnp.concatenate(outs_i, 1)
 
 
-def _kernel(q_ref, db_ref, orig_ref, idx_ref, dist_ref, rd_ref, ri_ref, *,
-            k, ndb_pad):
+def _kernel(order_ref, lb_ref, q_ref, db_ref, orig_ref, idx_ref, dist_ref,
+            rd_ref, ri_ref, *, k, ndb_pad):
     bq = q_ref.shape[2]
     qx = q_ref[0, 0, :].reshape(bq, 1)
     qy = q_ref[0, 1, :].reshape(bq, 1)
 
     n_chunks = ndb_pad // BLOCK_DB
+    bi = pl.program_id(0)
+    nbi = pl.program_id(1)
 
     rd_ref[...] = jnp.full((bq, k), _FAR, jnp.float32)
     ri_ref[...] = jnp.full((bq, k), _BIG_I, jnp.int32)
 
-    # NOTE (measured, v5e): also pruning the distance tile via a per-chunk
-    # bbox lower bound is ~10% SLOWER — the extra scalar reductions stall
-    # the pipeline more than the saved VPU work.  Don't retry.
-    for cb in range(n_chunks):
+    # NOTE (measured, v5e): per-chunk bbox pruning of the distance tile
+    # INSIDE the old 0..n sweep was ~10% slower (scalar-reduction stalls).
+    # The win comes from hoisting the bounds OUT (XLA computes + argsorts
+    # them) and turning them into loop control: proximity-first visitation
+    # plus early exit.
+
+    def body(carry):
+        it, lb_it, worst_kth = carry
+        cb = order_ref[bi, nbi, it]
         dx = db_ref[0, 0, pl.ds(cb * BLOCK_DB, BLOCK_DB)].reshape(1, BLOCK_DB)
         dy = db_ref[0, 1, pl.ds(cb * BLOCK_DB, BLOCK_DB)].reshape(1, BLOCK_DB)
         ddx = qx - dx
@@ -79,7 +92,6 @@ def _kernel(q_ref, db_ref, orig_ref, idx_ref, dist_ref, rd_ref, ri_ref, *,
         d2 = ddx * ddx + ddy * ddy                              # (BQ, BD)
         # padded db slots carry _FAR-away positions: never in any top-k
         chunk_min = jnp.min(d2)
-        worst_kth = jnp.max(rd_ref[:, k - 1])
 
         # strictly-worse chunks can neither displace nor tie into the top-k
         @pl.when(chunk_min <= worst_kth)
@@ -94,6 +106,20 @@ def _kernel(q_ref, db_ref, orig_ref, idx_ref, dist_ref, rd_ref, ri_ref, *,
             nd, ni = _extract_k(md, mi, k)
             rd_ref[...] = nd
             ri_ref[...] = ni
+
+        it = it + 1
+        nxt = jnp.minimum(it, n_chunks - 1)
+        return (it, lb_ref[bi, nbi, nxt], jnp.max(rd_ref[:, k - 1]))
+
+    def cond(carry):
+        it, lb_it, worst_kth = carry
+        # keep lb == worst chunks: an equal-distance candidate with a lower
+        # original index still displaces the current k-th on the tie rule
+        return jnp.logical_and(it < n_chunks, lb_it <= worst_kth)
+
+    jax.lax.while_loop(
+        cond, body, (jnp.int32(0), lb_ref[bi, nbi, 0], jnp.float32(_FAR))
+    )
 
     idx_ref[0] = ri_ref[...]
     dist_ref[0] = rd_ref[...]
@@ -138,11 +164,37 @@ def knn_pallas(query, database, k: int, interpret: bool = False):
                          constant_values=2**30)
     nq_pad = q_t.shape[2]
     ndb_pad = db_t.shape[2]
+    nb = nq_pad // BLOCK_Q
+    n_chunks = ndb_pad // BLOCK_DB
+
+    # proximity-ordered chunk visitation: bbox-to-bbox lower-bound distances
+    # per (query-block, chunk), argsorted ascending.  Conservative under
+    # padding: padded queries are zeros (only widen the query bbox) and the
+    # partial last db chunk's pad positions are -(2^30) (its bbox widens so
+    # its bound only shrinks — never prunes what it shouldn't).
+    qb = q_t.reshape(b, 2, nb, BLOCK_Q)
+    qmin = jnp.min(qb, axis=3)                                  # (b, 2, nb)
+    qmax = jnp.max(qb, axis=3)
+    cb_ = db_t.reshape(b, 2, n_chunks, BLOCK_DB)
+    cmin = jnp.min(cb_, axis=3)                                 # (b, 2, nch)
+    cmax = jnp.max(cb_, axis=3)
+    gap = jnp.maximum(
+        0.0,
+        jnp.maximum(
+            cmin[:, :, None, :] - qmax[:, :, :, None],
+            qmin[:, :, :, None] - cmax[:, :, None, :],
+        ),
+    )                                                           # (b,2,nb,nch)
+    lb = jnp.sum(gap * gap, axis=1)                             # (b, nb, nch)
+    order = jnp.argsort(lb, axis=-1).astype(jnp.int32)
+    lb_sorted = jnp.take_along_axis(lb, order, axis=-1)
 
     idx, d2 = pl.pallas_call(
         functools.partial(_kernel, k=k, ndb_pad=ndb_pad),
-        grid=(b, nq_pad // BLOCK_Q),
+        grid=(b, nb),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 2, BLOCK_Q), lambda bi, qi: (bi, 0, qi),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, ndb_pad), lambda bi, qi: (bi, 0, 0),
@@ -168,5 +220,5 @@ def knn_pallas(query, database, k: int, interpret: bool = False):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(q_t, db_t, orig_t)
+    )(order, lb_sorted, q_t, db_t, orig_t)
     return idx[:, :nq], d2[:, :nq]

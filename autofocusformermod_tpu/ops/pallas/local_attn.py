@@ -226,10 +226,15 @@ def _kernel(
         # rel-pos geometry: shared by every head (models/layers.py features)
         dx = jnp.clip(posk_x - posq_x, -REL_POS_WIDTH, REL_POS_WIDTH)
         dy = jnp.clip(posk_y - posq_y, -REL_POS_WIDTH, REL_POS_WIDTH)
-        dist = jnp.sqrt(dx * dx + dy * dy)
-        safe = jnp.where(dist > 0, dist, 1.0)
-        sin = jnp.where(dist > 0, dy / safe, 0.0)
-        cos = jnp.where(dist > 0, dx / safe, 0.0)
+        # dist/sin/cos via one rsqrt instead of sqrt + two divides (the
+        # VPU's slow-path ops dominate the shared geometry): dist = d2*rs,
+        # sin = dy*rs, cos = dx*rs with rs = rsqrt(d2), and rs = 0 at d2 = 0
+        # reproduces the sin = cos = dist = 0 convention exactly
+        d2g = dx * dx + dy * dy
+        rs = jnp.where(d2g > 0, jax.lax.rsqrt(d2g), 0.0)
+        dist = d2g * rs
+        sin = dy * rs
+        cos = dx * rs
 
         # neighborhood mask: shared by every head
         col_cid = (
@@ -342,10 +347,15 @@ def _bwd_dq_kernel(
         # geometry + mask shared across heads (see forward kernel)
         dx = jnp.clip(posk_x - posq_x, -REL_POS_WIDTH, REL_POS_WIDTH)
         dy = jnp.clip(posk_y - posq_y, -REL_POS_WIDTH, REL_POS_WIDTH)
-        dist = jnp.sqrt(dx * dx + dy * dy)
-        safe = jnp.where(dist > 0, dist, 1.0)
-        sin = jnp.where(dist > 0, dy / safe, 0.0)
-        cos = jnp.where(dist > 0, dx / safe, 0.0)
+        # dist/sin/cos via one rsqrt instead of sqrt + two divides (the
+        # VPU's slow-path ops dominate the shared geometry): dist = d2*rs,
+        # sin = dy*rs, cos = dx*rs with rs = rsqrt(d2), and rs = 0 at d2 = 0
+        # reproduces the sin = cos = dist = 0 convention exactly
+        d2g = dx * dx + dy * dy
+        rs = jnp.where(d2g > 0, jax.lax.rsqrt(d2g), 0.0)
+        dist = d2g * rs
+        sin = dy * rs
+        cos = dx * rs
         feats = (dx, dy, dist, sin, cos)
 
         col_cid = (
@@ -450,10 +460,15 @@ def _bwd_dkv_kernel(
         # geometry + mask shared across heads (see forward kernel)
         dx = jnp.clip(posk_x - posq_x, -REL_POS_WIDTH, REL_POS_WIDTH)
         dy = jnp.clip(posk_y - posq_y, -REL_POS_WIDTH, REL_POS_WIDTH)
-        dist = jnp.sqrt(dx * dx + dy * dy)
-        safe = jnp.where(dist > 0, dist, 1.0)
-        sin = jnp.where(dist > 0, dy / safe, 0.0)
-        cos = jnp.where(dist > 0, dx / safe, 0.0)
+        # dist/sin/cos via one rsqrt instead of sqrt + two divides (the
+        # VPU's slow-path ops dominate the shared geometry): dist = d2*rs,
+        # sin = dy*rs, cos = dx*rs with rs = rsqrt(d2), and rs = 0 at d2 = 0
+        # reproduces the sin = cos = dist = 0 convention exactly
+        d2g = dx * dx + dy * dy
+        rs = jnp.where(d2g > 0, jax.lax.rsqrt(d2g), 0.0)
+        dist = d2g * rs
+        sin = dy * rs
+        cos = dx * rs
 
         allowed = jnp.zeros((BLOCK_Q, bk), jnp.bool_)
         for t in range(nnc):
