@@ -21,6 +21,16 @@ def shepard_decay_weights(dist: jnp.ndarray, power=3.0) -> jnp.ndarray:
     """Normalized inverse-distance weights.  dist: (b, n, k) -> (b, n, k).
     Port of point_utils.py:63-75 (clamp 1e-2, eps 1e-6)."""
     dist = jnp.maximum(dist, 1e-2)
+    if not hasattr(power, "dtype") and float(power).is_integer():
+        # static integer-valued power: x**int lowers to lax.integer_pow
+        # (multiplies, multiply-only VJP); a float exponent lowers to
+        # exp(p*log(x)), and its VJP drags log/exp through the backward —
+        # the fwd+bwd Shepard-weight fusions measured ~30 ms/train-step
+        # across the FPN + attention-mask upsamples at flagship shapes.
+        # Values agree with the float-pow form to ~1 ulp on the clamped
+        # positive inputs here; the reference-parity tests carry tolerances
+        # that already cover torch-vs-XLA pow rounding.
+        power = int(power)
     ipd = 1.0 / (dist**power + 1e-6)
     return ipd / (jnp.sum(ipd, axis=2, keepdims=True) + 1e-6)
 

@@ -182,7 +182,7 @@ def set_criterion(
     # masks are identical across the deep-supervision layers — and sample the
     # GT at ALL layers' matching points in one gather (layers folded into the
     # point axis; bit-identical to per-layer sampling)
-    from .point_sample import point_sample_shared_t
+    from .point_sample import point_sample_shared_batch
 
     tgt_flat_t = tgt_masks.reshape(b, t, H0 * W0).transpose(0, 2, 1)
     nl = len(all_outputs)
@@ -192,9 +192,9 @@ def set_criterion(
         layer_keys.append(k_pts)
         layer_coords.append(jax.random.uniform(k_match, (b, num_points, 2)))
     coords_cat = jnp.concatenate(layer_coords, axis=1)    # (b, nl*p, 2)
-    tgt_pts_cat = jax.vmap(
-        lambda gt_t, c: point_sample_shared_t(gt_t, H0, W0, c)
-    )(tgt_flat_t, coords_cat)                             # (b, t, nl*p)
+    tgt_pts_cat = point_sample_shared_batch(
+        tgt_flat_t, H0, W0, coords_cat
+    )                                                     # (b, t, nl*p)
     for li, out in enumerate(all_outputs):
         costs.append(
             matching_cost(

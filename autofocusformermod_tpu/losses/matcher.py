@@ -25,7 +25,6 @@ import numpy as np
 
 from .auction import auction_lsap
 from .lapjv import hungarian_lsap
-from .point_sample import point_sample_shared
 
 _INVALID_COST = 1e8
 
@@ -139,7 +138,7 @@ def matching_cost(
                   across layers); bit-identical to sampling here
     Returns (b, q, t) with invalid target columns at _INVALID_COST.
     """
-    from .point_sample import point_sample_shared_t
+    from .point_sample import point_sample_shared_batch
 
     b, q = pred_logits.shape[:2]
     t = tgt_labels.shape[1]
@@ -147,15 +146,19 @@ def matching_cost(
     if tgt_pts is None:
         if tgt_flat_t is None:
             tgt_flat_t = tgt_masks.reshape(b, t, H * W).transpose(0, 2, 1)
-        tgt_pts = jax.vmap(
-            lambda gt_t, coords: point_sample_shared_t(gt_t, H, W, coords)
-        )(tgt_flat_t, point_coords)
+        tgt_pts = point_sample_shared_batch(tgt_flat_t, H, W, point_coords)
 
-    def per_image(logits, masks, labels, gt_pts, valid, coords):
+    # sample ALL images' pred masks through one flat batched gather — the
+    # vmapped per-image form lowered to XLA's ~4.4x-slower batched gather
+    h, w = pred_masks.shape[-2:]
+    out_pts_all = point_sample_shared_batch(
+        pred_masks.reshape(b, q, h * w).transpose(0, 2, 1), h, w, point_coords
+    )                                                         # (b, q, p)
+
+    def per_image(logits, out_pts, labels, gt_pts, valid):
         out_prob = jax.nn.softmax(logits, axis=-1)            # (q, nc+1)
         cc = -out_prob[:, labels]                             # (q, t)
 
-        out_pts = point_sample_shared(masks, coords)          # (q, p)
         tgt_pts = gt_pts                                      # (t, p)
 
         cm = batch_sigmoid_ce_cost(out_pts, tgt_pts)
@@ -168,7 +171,7 @@ def matching_cost(
         return jnp.where(valid[None, :], cost, _INVALID_COST)
 
     return jax.vmap(per_image)(
-        pred_logits, pred_masks, tgt_labels, tgt_pts, tgt_valid, point_coords
+        pred_logits, out_pts_all, tgt_labels, tgt_pts, tgt_valid
     )  # (b, q, t)
 
 

@@ -104,6 +104,42 @@ def point_sample_shared_t(flat_t: jnp.ndarray, h: int, w: int,
     return (top * (1 - wy) + bot * wy).T                   # (m, p)
 
 
+def point_sample_shared_batch(flat_t: jnp.ndarray, h: int, w: int,
+                              coords: jnp.ndarray) -> jnp.ndarray:
+    """Batched ``point_sample_shared_t``: flat_t (b, h*w, m), coords
+    (b, p, 2) -> (b, m, p).
+
+    Bit-identical to ``vmap(point_sample_shared_t)`` but gathers through ONE
+    flat (b*h*w, m) take with batch folded into the row index: the vmapped
+    form lowers to XLA's batched gather, measured ~4.4x slower per row (the
+    criterion's four matcher-target taps were 4.0 ms each at flagship
+    shapes; flat they are row-rate-bound like every other gather)."""
+    b, hw, m = flat_t.shape
+    flat = flat_t.reshape(b * hw, m)
+    row0 = (jnp.arange(b, dtype=jnp.int32) * hw)[:, None]
+    x = coords[..., 0] * w - 0.5
+    y = coords[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[..., None]                                # (b, p, 1)
+    wy = (y - y0)[..., None]
+
+    def tap(xi, yi):
+        inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        v = jnp.take(flat, (row0 + yi_c * w + xi_c).reshape(-1), axis=0)
+        return jnp.where(inb[..., None], v.reshape(*xi.shape, m), 0.0)
+
+    v00 = tap(x0, y0)
+    v01 = tap(x0 + 1, y0)
+    v10 = tap(x0, y0 + 1)
+    v11 = tap(x0 + 1, y0 + 1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return (top * (1 - wy) + bot * wy).transpose(0, 2, 1)  # (b, m, p)
+
+
 def point_sample_auto(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """``point_sample`` routed through the fused one-hot MXU kernel on TPU
     (ops/pallas/point_sample_kernel.py — dense matmuls instead of ~110M/s
