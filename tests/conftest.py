@@ -70,11 +70,11 @@ _SMOKE = (
 
 
 def pytest_collection_modifyitems(config, items):
-    """Tiering.  Measured on this machine (round 4):
-    - `pytest -m smoke`: ~1.5 min — the between-commits gate
-    - `pytest -m 'not slow'`: ~11 min (223 tests; compute-bound, a warm
-      compile cache does not change it materially)
-    - full suite: ~65 min (TESTS_r*.txt records the exact numbers)
+    """Tiering.  Measured on this machine (round 5, CONTENDED — the TPU
+    bench/profile jobs share the host; treat as upper bounds):
+    - `pytest -m smoke`: 4m08s (judge-measured r4, concurrent w/ fast tier)
+    - `pytest -m 'not slow'`: 24m40s (234 passed, 5 skipped; r5 session)
+    - full suite: ~65 min solo (r3); TESTS_r*.txt records exact counts
     Modules that jit entire models on CPU are 'slow'."""
     import pytest as _pytest
 
